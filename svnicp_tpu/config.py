@@ -1,0 +1,200 @@
+"""Typed configuration for the whole framework.
+
+Replaces the reference's ~40 ROS 2 declared parameters + per-dataset YAML
+(ref: svn-icp/src/core/OdometryPipeline.cpp:119-276, svn-icp/config/*.yaml)
+with strict dataclasses: unknown keys raise, units are converted exactly once
+at load, and every jitted function receives plain static fields.
+
+Deliberate divergences from reference quirks (SURVEY.md §7.5):
+- the YAML key for accelerometer bias std is `abstd` and is actually read
+  (the reference reads `gastd` and silently keeps zeros);
+- `use_minibatch`/`batch_size` are honored (reference always forces
+  full-batch because `use_minibatch` is never parsed);
+- `convergence_steps` is dropped (parsed-but-unused in the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import numpy as np
+
+
+def _vec3(v, name: str) -> tuple[float, float, float]:
+    arr = [float(x) for x in v]
+    if len(arr) != 3:
+        raise ValueError(f"{name} must have 3 entries, got {len(arr)}")
+    return tuple(arr)  # type: ignore[return-value]
+
+
+@dataclasses.dataclass(frozen=True)
+class SteinICPConfig:
+    """Hyperparameters of the SVGD/SVN ICP core.
+
+    Mirrors `SteinICPParam` (ref: svn-icp/include/core/SVGDICP.h:41-57) plus
+    fixed-shape capacities the TPU build needs (padded cloud sizes).
+    """
+
+    # algorithm family: "svn" (Gauss-Newton + Stein) or "svgd" (1st order)
+    method: str = "svn"
+    particle_count: int = 32
+    iterations: int = 50
+    lr: float = 1.0
+    max_dist: float = 2.8            # correspondence gate + M-estimator scale [m]
+    knn_count: int = 100             # K candidates per source point (stage-1 KNN)
+    early_stop: bool = True
+    convergence_threshold: float = 5e-4
+    svn_full_grad: bool = False      # full second-order kernel Hessian coupling
+    optimizer: str = "adam"          # svgd only: adam | rmsprop | sgd | adagrad
+    use_minibatch: bool = False
+    batch_size: int = 0              # 0 = full cloud (matches reference behavior)
+    normalize: bool = False
+    # fixed-shape capacities (TPU build; no reference analogue — dynamic pcl)
+    source_capacity: int = 4096      # max source points fed to the ICP core
+    target_capacity: int = 65536     # max map points fed to the ICP core
+    # particle prior box (ref: OdometryPipeline.cpp:662-665, hard-coded)
+    init_lb: tuple[float, ...] = (-0.3, -0.2, -0.1, -0.004, -0.004, -0.012)
+    init_ub: tuple[float, ...] = (0.3, 0.2, 0.1, 0.004, 0.004, 0.012)
+
+    def __post_init__(self):
+        if self.method not in ("svn", "svgd"):
+            raise ValueError(f"method must be 'svn' or 'svgd', got {self.method!r}")
+        if self.optimizer.lower() not in ("adam", "rmsprop", "sgd", "adagrad"):
+            raise ValueError(f"unknown optimizer {self.optimizer!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Local voxel map (ref: svn-icp/include/core/VoxelHashMap.h:45-53)."""
+
+    voxel_size: float = 1.0
+    max_points_per_voxel: int = 20
+    max_range: float = 300.0         # eviction radius around current pose
+    capacity: int = 262144           # fixed device table size (points)
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """Scan preprocessing (ref: OdometryPipeline.cpp:357-447, 675-704)."""
+
+    min_range: float = 0.0
+    max_range: float = 80.0
+    voxel_size: float = 1.0          # two-stage uniform downsample base size
+    deskew: bool = False
+    use_segmentation: bool = False
+    raw_capacity: int = 131072       # padded raw scan size
+
+
+@dataclasses.dataclass(frozen=True)
+class IMUNoiseConfig:
+    """IMU random-walk parameters, *already converted to SI* at load.
+
+    YAML units match the reference configs: rot_rw [deg/sqrt(hr)],
+    vel_rw [m/s/sqrt(hr)], gbstd [deg/hr], abstd [mGal]
+    (conversions at ref: OdometryPipeline.cpp:214-225).
+    """
+
+    rot_rw: tuple[float, float, float] = (0.0, 0.0, 0.0)    # [rad/sqrt(s)]
+    vel_rw: tuple[float, float, float] = (0.0, 0.0, 0.0)    # [m/s/sqrt(s)]
+    bg_std: tuple[float, float, float] = (0.0, 0.0, 0.0)    # [rad/s]
+    ba_std: tuple[float, float, float] = (0.0, 0.0, 0.0)    # [m/s^2]
+
+    @staticmethod
+    def from_yaml_units(rot_rw, vel_rw, gbstd, abstd) -> "IMUNoiseConfig":
+        d2r = math.pi / 180.0
+        return IMUNoiseConfig(
+            rot_rw=tuple(x * d2r / 60.0 for x in rot_rw),
+            vel_rw=tuple(x / 60.0 for x in vel_rw),
+            bg_std=tuple(x * d2r / 3600.0 for x in gbstd),
+            ba_std=tuple(x * 1e-5 for x in abstd),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LIOConfig:
+    """Estimator-level parameters (ref: OdometryPipeline.cpp:227-263)."""
+
+    estimator: str = "kf"            # "kf" (ESKF fusion) or "icp" (pure odometry)
+    init_pos_std: tuple[float, float, float] = (0.05, 0.05, 0.05)
+    init_vel_std: tuple[float, float, float] = (0.05, 0.05, 0.05)
+    init_rot_std: tuple[float, float, float] = (0.1, 0.1, 0.1)   # [deg] in YAML
+    icp_cov_scales: tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    use_const_cov: bool = False
+    const_cov: tuple[float, float] = (1e-4, 1e-5)    # (translation, rotation)
+    cov_filter: str = "none"         # none | mean | max_sliding_window
+    frame_gap_seconds: float = 0.05
+    extrinsic_R: tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)  # row-major lidar->imu
+    extrinsic_t: tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    def __post_init__(self):
+        if self.estimator not in ("kf", "icp"):
+            raise ValueError(f"estimator must be 'kf' or 'icp', got {self.estimator!r}")
+        if self.cov_filter not in ("none", "mean", "max_sliding_window"):
+            raise ValueError(f"unknown cov_filter {self.cov_filter!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """Device-mesh layout for multi-chip runs (no reference analogue)."""
+
+    particle_axis: int = 1           # shards of the particle ensemble
+    point_axis: int = 1              # shards of the source-point batch
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    icp: SteinICPConfig = dataclasses.field(default_factory=SteinICPConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    preprocess: PreprocessConfig = dataclasses.field(default_factory=PreprocessConfig)
+    imu: IMUNoiseConfig = dataclasses.field(default_factory=IMUNoiseConfig)
+    lio: LIOConfig = dataclasses.field(default_factory=LIOConfig)
+    sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
+    dtype: str = "float32"
+    seed: int = 0
+
+    @property
+    def np_dtype(self):
+        return np.dtype(self.dtype)
+
+
+def _build(cls, data: dict[str, Any], path: str):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(fields)
+    if unknown:
+        raise KeyError(f"unknown config key(s) {sorted(unknown)} under '{path}'")
+    kwargs = {}
+    for name, value in data.items():
+        ftype = fields[name].type
+        if dataclasses.is_dataclass(_RESOLVED.get(name)) and isinstance(value, dict):
+            kwargs[name] = _build(_RESOLVED[name], value, f"{path}.{name}")
+        elif isinstance(value, list):
+            kwargs[name] = tuple(value)
+        else:
+            kwargs[name] = value
+        del ftype
+    return cls(**kwargs)
+
+
+_RESOLVED = {
+    "icp": SteinICPConfig,
+    "map": MapConfig,
+    "preprocess": PreprocessConfig,
+    "imu": IMUNoiseConfig,
+    "lio": LIOConfig,
+    "sharding": ShardingConfig,
+}
+
+
+def from_dict(data: dict[str, Any]) -> PipelineConfig:
+    """Build a PipelineConfig from a nested dict; unknown keys raise."""
+    return _build(PipelineConfig, data, "pipeline")
+
+
+def from_yaml(path: str) -> PipelineConfig:
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return from_dict(data)
