@@ -1,0 +1,89 @@
+"""Robust point-to-point residuals and block-structured Gauss-Newton assembly.
+
+TPU-native replacement for the reference's per-particle J/H/b einsums
+(ref: svn-icp/src/core/SVNICP.cpp:116-164, `Newton_grad_right`). The reference
+materializes J as a [P,B,3,6] tensor and contracts it twice; here we exploit
+J = R_c [I | -ŝ] (R_c orthonormal) so JᵀWJ collapses to weighted point moments:
+
+    H = [[ Σw · I        , -skew(Σ w s) ],
+         [ skew(Σ w s)   , tr(M2)·I - M2 ]],   M2 = Σ w s sᵀ
+    b = [ R_cᵀ Σ (w e) ;  Σ s × (R_cᵀ w e) ]
+
+which is O(B·9) VPU work and removes the [P,B,3,6] HBM traffic entirely —
+the identity holds because R_cᵀR_c = I.
+
+Outlier handling reproduces the reference exactly, including its quirk
+(SURVEY.md §7.5): gated-out pairs are *zeroed*, not dropped, so they
+contribute weight 1 and ŝ = 0 — i.e. +I to the translation block of H
+(damping) and nothing to b (ref: SVGDICP.cpp:331-333 point_filter +
+SVNICP.cpp:119-125).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from svnicp_tpu.core import geometry as geo
+
+_JITTER = 1e-6
+
+
+def robust_weight(err_norm: jax.Array, max_dist: float) -> jax.Array:
+    """Geman-McClure-style M-estimator weight (ref: SVNICP.cpp:122)."""
+    return jnp.square(max_dist / (max_dist + 3.0 * err_norm))
+
+
+def gauss_newton_system(
+    source: jax.Array,       # [B,3] source points in the local (scan) frame
+    transformed: jax.Array,  # [B,3] R_total @ source + t_total
+    target: jax.Array,       # [B,3] matched target points
+    pair_valid: jax.Array,   # [B] bool: correspondence inside the distance gate
+    r_total: jax.Array,      # [3,3] compound rotation R0 @ R
+    max_dist: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Assemble (H [6,6], b [6]) for one particle; vmap over the ensemble.
+
+    Parameter ordering is [translation(3), rotation(3)] matching the particle
+    coordinates (ref: SVNICP.cpp:146 J = [R | -R ŝ]).
+    """
+    gate = pair_valid[:, None].astype(source.dtype)
+    s = source * gate
+    e = (transformed - target) * gate
+    err_norm = jnp.linalg.norm(e, axis=-1, keepdims=True)
+    w = robust_weight(err_norm, max_dist)          # [B,1]; gated pairs get w=1
+    we = w * e                                      # singly-weighted error (b)
+
+    sw = jnp.sum(w)
+    m1 = jnp.sum(w * s, axis=0)                     # Σ w s
+    m2 = jnp.einsum("bi,bj->ij", w * s, s, precision=jax.lax.Precision.HIGHEST)
+    eye = jnp.eye(3, dtype=source.dtype)
+
+    h_tt = sw * eye
+    h_tr = -geo.skew(m1)
+    h_rr = jnp.trace(m2) * eye - m2
+    h = jnp.block([[h_tt, h_tr], [-h_tr, h_rr]]) + _JITTER * jnp.eye(6, dtype=source.dtype)
+
+    # b needs e weighted once more for the H-side but only once here:
+    # reference computes b = Σ Jᵀ (w e) with e already robust-weighted.
+    rte = jnp.einsum("ji,bj->bi", r_total, we, precision=jax.lax.Precision.HIGHEST)
+    b_t = jnp.sum(rte, axis=0)
+    b_r = jnp.sum(jnp.cross(s, rte), axis=0)
+    b = jnp.concatenate([b_t, b_r])
+    return h, b
+
+
+def solve_newton(h: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve H x = b for the [6] Newton direction via Cholesky.
+
+    H is SPD by construction (+jitter); Cholesky is both faster and more
+    f32-robust on TPU than LU (ref uses torch::linalg::solve, SVNICP.cpp:162).
+    """
+    chol = jax.scipy.linalg.cho_factor(h, lower=True)
+    return jax.scipy.linalg.cho_solve(chol, b)
+
+
+# Ensemble versions: vmap over the leading particle axis of (transformed,
+# pair_valid, r_total); source is shared.
+ensemble_gauss_newton = jax.vmap(gauss_newton_system, in_axes=(None, 0, 0, 0, 0, None))
+ensemble_solve = jax.vmap(solve_newton)

@@ -1,0 +1,306 @@
+"""Stein Variational Newton ICP: the registration engine.
+
+TPU-native re-design of the reference's SVN-ICP core
+(ref: svn-icp/src/core/SVNICP.cpp:41-279 + the SVGD base-class plumbing in
+SVGDICP.cpp:66-140). Differences in *shape*, none in math:
+
+- the per-particle loop is a vmapped batch over a leading particle axis
+  inside one jitted function (the reference already batches over P with
+  libtorch; here vmap + XLA fuse the whole iteration into one program);
+- J/H/b use the block-moment identity (see core/residuals.py) instead of
+  materializing [P,B,3,6] Jacobians;
+- the iteration loop is a `lax.while_loop` with on-device early stopping
+  (ref checks `stein_grad.norm(2,1).mean(0) < thr` on the host each epoch,
+  SVNICP.cpp:95-101 — here no host sync happens at all);
+- fixed shapes with validity masks everywhere.
+
+Reference behavioral quirks reproduced deliberately (SURVEY.md §7.5):
+- the correspondence gate compares *squared* distance against the un-squared
+  `max_dist` (point_filter, SVGDICP.cpp:331-333 — PyTorch3D returns squared
+  L2), so the effective gate radius is sqrt(max_dist);
+- gated-out pairs contribute identity blocks to H (see residuals.py);
+- particle weights stay uniform (Beta-Stein weighting is vestigial upstream).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from svnicp_tpu.config import SteinICPConfig
+from svnicp_tpu.core import geometry as geo
+from svnicp_tpu.core import residuals
+from svnicp_tpu.kernels import knn
+
+
+class AlignResult(NamedTuple):
+    """Outputs of one alignment (ref getters: SVNICP.cpp:281-308)."""
+
+    particles: jax.Array      # [P,6] local correction per particle: [t, log R]
+    weights: jax.Array        # [P] uniform (kept for API parity)
+    mean: jax.Array           # [6] weighted mean correction
+    var: jax.Array            # [6] per-dim weighted variance
+    cov: jax.Array            # [6,6] weighted covariance
+    iterations: jax.Array     # scalar int32: iterations actually run
+    grad_norm: jax.Array      # scalar: mean |stein_grad| at exit
+
+
+class _LoopState(NamedTuple):
+    r: jax.Array              # [P,3,3] local rotation (right-perturbation)
+    t: jax.Array              # [P,3] local translation
+    it: jax.Array             # scalar int32
+    grad_norm: jax.Array      # scalar
+    done: jax.Array           # scalar bool
+
+
+def init_particles_uniform(key: jax.Array, count: int, lb, ub, dtype=jnp.float32) -> jax.Array:
+    """Uniform particle prior in a box, [P,6]; P==1 collapses to zeros
+    (ref: svn-icp/src/core/ICPUtils.cpp:45-58)."""
+    if count == 1:
+        return jnp.zeros((1, 6), dtype)
+    lb = jnp.asarray(lb, dtype)
+    ub = jnp.asarray(ub, dtype)
+    u = jax.random.uniform(key, (count, 6), dtype)
+    return lb + (ub - lb) * u
+
+
+def init_particles_gaussian(key: jax.Array, count: int, std, dtype=jnp.float32) -> jax.Array:
+    """Zero-mean Gaussian prior clamped at 3 sigma, [P,6]
+    (ref: svn-icp/src/core/ICPUtils.cpp:60-75)."""
+    if count == 1:
+        return jnp.zeros((1, 6), dtype)
+    std = jnp.asarray(std, dtype)
+    z = jax.random.normal(key, (count, 6), dtype) * std
+    return jnp.clip(z, -3.0 * std, 3.0 * std)
+
+
+def rbf_kernel(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """RBF kernel over particle coordinates [P,6] with median bandwidth.
+
+    h = median(pairwise sq dists) / log(P+1)  (ref: SVNICP.cpp:254-266).
+    Uses the torch-style *lower* median over all P^2 entries (incl. the zero
+    diagonal) for bit-parity with the reference, guarded against collapse.
+    """
+    p = x.shape[0]
+    diff = x[:, None, :] - x[None, :, :]            # diff[i,j] = x_i - x_j
+    sq = jnp.sum(diff * diff, axis=-1)              # [P,P]
+    flat = jnp.sort(sq.reshape(-1))
+    lower_median = flat[(p * p - 1) // 2]
+    h = lower_median / jnp.log(jnp.asarray(float(p + 1), x.dtype))
+    h = jnp.maximum(h, jnp.asarray(1e-12, x.dtype))
+    kernel = jnp.exp(-sq / h)
+    return kernel, h, diff
+
+
+def svgd_precond_grad(
+    x: jax.Array,             # [P,6] particle coordinates
+    neg_newton: jax.Array,    # [P,6] -H^-1 b per particle
+    h_mean: jax.Array,        # [6,6] ensemble-mean Hessian (preconditioner)
+) -> jax.Array:
+    """Hessian-preconditioned SVGD transport (ref: SVNICP.cpp:218-227)."""
+    kernel, bw, diff = rbf_kernel(x)
+    grad_k = (2.0 / bw) * jnp.einsum("ijd,ij->id", diff, kernel)
+    repulsion = jnp.linalg.solve(h_mean, grad_k.T).T          # H^-1 grad
+    drive = jnp.matmul(kernel, neg_newton, precision=jax.lax.Precision.HIGHEST)
+    return (drive + repulsion) / jnp.sum(kernel, axis=1, keepdims=True)
+
+
+def svn_full_update(
+    x: jax.Array,             # [P,6]
+    hess: jax.Array,          # [P,6,6] per-particle GN Hessians
+    neg_b: jax.Array,         # [P,6] negative GN gradient
+    lr: float,
+) -> jax.Array:
+    """Full second-order Stein-Newton update (ref: SVNICP.cpp:229-252)."""
+    p = x.shape[0]
+    kernel, bw, diff = rbf_kernel(x)
+    grad_k = (2.0 / bw) * diff * kernel[..., None]             # [P,P,6]
+    grad2 = jnp.einsum("ijk,ijl->ikl", grad_k, grad_k)         # Σ_j ∇k∇kᵀ
+    k2h = jnp.einsum("ij,jkl->ikl", kernel * kernel, hess)
+    h_bar = (k2h + grad2) / p                                  # [P,6,6]
+    drive = (
+        jnp.matmul(kernel, neg_b, precision=jax.lax.Precision.HIGHEST)
+        + jnp.sum(grad_k, axis=1)
+    ) / p
+    return lr * jnp.linalg.solve(h_bar, drive[..., None])[..., 0]
+
+
+def _pose_update(r, t, stein_grad):
+    """Right-multiplicative SE(3) update (ref: SVNICP.cpp:268-279):
+    R <- R exp(w^), t <- R_new (J_l dt) + t."""
+    dt, omega = stein_grad[:, :3], stein_grad[:, 3:]
+    dr = geo.bso3_exp(omega)
+    jl = geo.bso3_left_jacobian(omega)
+    r_new = jnp.matmul(r, dr, precision=jax.lax.Precision.HIGHEST)
+    dt_l = jnp.einsum("pij,pj->pi", jl, dt)
+    t_new = jnp.einsum("pij,pj->pi", r_new, dt_l) + t
+    return r_new, t_new
+
+
+def _particle_coords(r, t):
+    """[P,6] = [t, log R] — the coordinates the Stein kernel acts on
+    (ref: SVNICP.cpp:74-77)."""
+    return jnp.concatenate([t, geo.bso3_log(r)], axis=-1)
+
+
+def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid, r0, t0, state):
+    """One SVN epoch: correspondences -> J/H/b -> Stein coupling -> update."""
+    p = state.r.shape[0]
+    r_total = jnp.matmul(r0[None], state.r, precision=jax.lax.Precision.HIGHEST)
+    t_total = t0[None] + jnp.einsum("ij,pj->pi", r0, state.t)
+
+    transformed = (
+        jnp.einsum("pij,bj->pbi", r_total, source, precision=jax.lax.Precision.HIGHEST)
+        + t_total[:, None, :]
+    )
+    nn_idx, nn_d2 = knn.nn_among_candidates(transformed, cand_pts, cand_valid)
+    b_idx = jnp.arange(source.shape[0])[None, :]
+    matched = cand_pts[b_idx, nn_idx]                          # [P,B,3]
+    # reference quirk: gate compares squared distance against max_dist
+    pair_valid = (nn_d2 < cfg.max_dist) & src_valid[None, :]
+
+    hess, b = residuals.ensemble_gauss_newton(
+        source, transformed, matched, pair_valid, r_total, cfg.max_dist
+    )
+    newton = residuals.ensemble_solve(hess, b)                 # [P,6]
+
+    coords = _particle_coords(state.r, state.t)
+    if p > 1:
+        if cfg.svn_full_grad:
+            stein_grad = svn_full_update(coords, hess, -b, cfg.lr)
+        else:
+            h_mean = jnp.mean(hess, axis=0)
+            stein_grad = svgd_precond_grad(coords, -newton, h_mean)
+    else:
+        stein_grad = -newton
+
+    r_new, t_new = _pose_update(state.r, state.t, stein_grad)
+    grad_norm = jnp.mean(jnp.linalg.norm(stein_grad, axis=1))
+    return r_new, t_new, grad_norm
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def align(
+    cfg: SteinICPConfig,
+    source: jax.Array,        # [B,3] downsampled source points (scan frame)
+    src_valid: jax.Array,     # [B] bool
+    cand_pts: jax.Array,      # [B,K,3] stage-1 candidate target points
+    cand_valid: jax.Array,    # [B,K] bool
+    r0: jax.Array,            # [3,3] initial-guess rotation
+    t0: jax.Array,            # [3] initial-guess translation
+    init_particles: jax.Array,  # [P,6] prior particles [t, w]
+) -> AlignResult:
+    """Run the SVN-ICP ensemble to convergence (ref: SVNICP.cpp:41-114).
+
+    Returns the local correction distribution relative to (r0, t0); compose
+    `guess * exp(mean)` for the frame pose (ref: OdometryPipeline.cpp:615).
+    """
+    p = init_particles.shape[0]
+    r_init = geo.bso3_exp(init_particles[:, 3:])
+    t_init = init_particles[:, :3]
+
+    iteration = functools.partial(
+        _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, r0, t0
+    )
+
+    def cond(state: _LoopState):
+        return (~state.done) & (state.it < cfg.iterations)
+
+    def body(state: _LoopState):
+        r_new, t_new, grad_norm = iteration(state)
+        done = (
+            jnp.asarray(cfg.early_stop)
+            & (grad_norm < cfg.convergence_threshold)
+        )
+        return _LoopState(r_new, t_new, state.it + 1, grad_norm, done)
+
+    init = _LoopState(
+        r_init,
+        t_init,
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(jnp.inf, source.dtype),
+        jnp.zeros((), bool),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    particles = _particle_coords(final.r, final.t)
+    weights = jnp.full((p,), 1.0 / p, source.dtype)
+    mean = jnp.sum(particles * weights[:, None], axis=0)
+    centered = particles - mean[None, :]
+    var = jnp.sum(weights[:, None] * centered * centered, axis=0)
+    cov = jnp.einsum("p,pi,pj->ij", weights, centered, centered)
+    return AlignResult(particles, weights, mean, var, cov, final.it, final.grad_norm)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def align_with_history(
+    cfg: SteinICPConfig,
+    source, src_valid, cand_pts, cand_valid, r0, t0, init_particles,
+) -> tuple[AlignResult, jax.Array]:
+    """`align` variant that also records the per-iteration particle stack
+    [iters,P,6] (ref: particle_stack_ logging, SVNICP.cpp:103-107). Runs all
+    `cfg.iterations` epochs with frozen updates after convergence."""
+    r_init = geo.bso3_exp(init_particles[:, 3:])
+    t_init = init_particles[:, :3]
+    p = init_particles.shape[0]
+
+    iteration = functools.partial(
+        _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, r0, t0
+    )
+
+    def body(state: _LoopState, _):
+        r_new, t_new, grad_norm = iteration(state)
+        newly_done = jnp.asarray(cfg.early_stop) & (grad_norm < cfg.convergence_threshold)
+        keep = ~state.done
+        r_out = jnp.where(keep[None, None, None], r_new, state.r)
+        t_out = jnp.where(keep[None, None], t_new, state.t)
+        nxt = _LoopState(
+            r_out,
+            t_out,
+            state.it + keep.astype(jnp.int32),
+            jnp.where(keep, grad_norm, state.grad_norm),
+            state.done | newly_done,
+        )
+        return nxt, _particle_coords(r_out, t_out)
+
+    init = _LoopState(
+        r_init, t_init, jnp.zeros((), jnp.int32),
+        jnp.asarray(jnp.inf, source.dtype), jnp.zeros((), bool),
+    )
+    final, history = jax.lax.scan(body, init, None, length=cfg.iterations)
+
+    particles = _particle_coords(final.r, final.t)
+    weights = jnp.full((p,), 1.0 / p, source.dtype)
+    mean = jnp.sum(particles * weights[:, None], axis=0)
+    centered = particles - mean[None, :]
+    var = jnp.sum(weights[:, None] * centered * centered, axis=0)
+    cov = jnp.einsum("p,pi,pj->ij", weights, centered, centered)
+    result = AlignResult(particles, weights, mean, var, cov, final.it, final.grad_norm)
+    return result, history
+
+
+def register(
+    cfg: SteinICPConfig,
+    source: jax.Array,        # [B,3]
+    src_valid: jax.Array,     # [B]
+    target: jax.Array,        # [T,3]
+    tgt_valid: jax.Array,     # [T]
+    r0: jax.Array,
+    t0: jax.Array,
+    init_particles: jax.Array,
+) -> AlignResult:
+    """Full registration: stage-1 KNN candidate pre-pairing + SVN alignment.
+
+    Mirrors add_cloud + knn_source_cloud + stein_align
+    (ref: SVGDICP.cpp:46-62, 176-215; SVNICP.cpp:41-114): candidates are
+    found once at the initial guess and reused across all iterations.
+    """
+    source_at_guess = geo.transform_points(r0, t0, source)
+    cand_idx, cand_d2 = knn.knn_candidates(
+        source_at_guess, target, src_valid, tgt_valid, cfg.knn_count
+    )
+    cand_pts, cand_valid = knn.gather_candidates(target, cand_idx, cand_d2)
+    return align(cfg, source, src_valid, cand_pts, cand_valid, r0, t0, init_particles)

@@ -1,0 +1,71 @@
+"""Gauss-Newton assembly tests: the block-moment H/b must equal the naive
+materialized-Jacobian contraction used by the reference (SVNICP.cpp:116-164)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svnicp_tpu.core import geometry as geo
+from svnicp_tpu.core import residuals
+
+
+def naive_system(source, transformed, target, pair_valid, r_total, max_dist):
+    """Direct transcription of the reference einsum math (numpy, f64)."""
+    gate = pair_valid[:, None].astype(np.float64)
+    s = np.asarray(source, np.float64) * gate
+    e = (np.asarray(transformed, np.float64) - np.asarray(target, np.float64)) * gate
+    en = np.linalg.norm(e, axis=-1, keepdims=True)
+    w = (max_dist / (max_dist + 3.0 * en)) ** 2
+    we = w * e
+    b_count = s.shape[0]
+    s_hat = np.zeros((b_count, 3, 3))
+    for i in range(b_count):
+        x, y, z = s[i]
+        s_hat[i] = [[0, -z, y], [z, 0, -x], [-y, x, 0]]
+    rc = np.asarray(r_total, np.float64)
+    j = np.concatenate([np.broadcast_to(rc, (b_count, 3, 3)), -rc @ s_hat], axis=2)  # [B,3,6]
+    h = np.einsum("bik,bil,b->kl", j, j, w[:, 0]) + 1e-6 * np.eye(6)
+    b = np.einsum("bik,bi->k", j, we)
+    return h, b
+
+
+def test_block_moment_identity(rng):
+    b_count = 50
+    source = rng.normal(size=(b_count, 3)).astype(np.float32) * 5
+    xi = rng.normal(size=6).astype(np.float32) * 0.1
+    r_total, t_total = geo.se3_exp(jnp.asarray(xi))
+    transformed = geo.transform_points(r_total, t_total, jnp.asarray(source))
+    target = transformed + jnp.asarray(rng.normal(size=(b_count, 3)).astype(np.float32) * 0.1)
+    pair_valid = rng.random(b_count) > 0.2
+
+    h, bb = residuals.gauss_newton_system(
+        jnp.asarray(source), transformed, target, jnp.asarray(pair_valid),
+        r_total, 2.8,
+    )
+    h_ref, b_ref = naive_system(source, np.asarray(transformed), np.asarray(target),
+                                pair_valid, np.asarray(r_total), 2.8)
+    np.testing.assert_allclose(np.asarray(h), h_ref, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(bb), b_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_gated_pairs_add_identity_to_translation_block(rng):
+    # reference quirk: fully-gated cloud -> H = B*I3 (+jitter) in the top-left
+    b_count = 20
+    source = rng.normal(size=(b_count, 3)).astype(np.float32)
+    r = jnp.eye(3)
+    transformed = jnp.asarray(source)
+    target = transformed
+    h, bb = residuals.gauss_newton_system(
+        jnp.asarray(source), transformed, target, jnp.zeros(b_count, bool), r, 2.8
+    )
+    np.testing.assert_allclose(np.asarray(h)[:3, :3], b_count * np.eye(3), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h)[3:, 3:], 1e-6 * np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bb), 0.0, atol=1e-6)
+
+
+def test_solver_matches_lstsq(rng):
+    h = rng.normal(size=(6, 6))
+    h = (h @ h.T + np.eye(6)).astype(np.float32)
+    b = rng.normal(size=6).astype(np.float32)
+    x = residuals.solve_newton(jnp.asarray(h), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(h, b), rtol=1e-3, atol=1e-4)

@@ -1,0 +1,156 @@
+"""SVN-ICP engine tests: synthetic registration recovery + ensemble behavior.
+
+Integration-test design per SURVEY.md §4: known rigid transform between a
+synthetic structured cloud and itself must be recovered by the ensemble mode,
+and the particle spread must shrink on clean data.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svnicp_tpu.config import SteinICPConfig
+from svnicp_tpu.core import geometry as geo
+from svnicp_tpu.core import svn
+
+
+def make_structured_cloud(rng, n=800):
+    """A synthetic 'room': three orthogonal planes + noise, well-constrained."""
+    n3 = n // 3
+    floor = np.stack([rng.uniform(-10, 10, n3), rng.uniform(-10, 10, n3), np.zeros(n3)], axis=1)
+    wall1 = np.stack([rng.uniform(-10, 10, n3), np.full(n3, 8.0), rng.uniform(0, 4, n3)], axis=1)
+    wall2 = np.stack([np.full(n - 2 * n3, -6.0), rng.uniform(-10, 10, n - 2 * n3),
+                      rng.uniform(0, 4, n - 2 * n3)], axis=1)
+    cloud = np.concatenate([floor, wall1, wall2], axis=0)
+    return (cloud + rng.normal(scale=0.01, size=cloud.shape)).astype(np.float32)
+
+
+def run_registration(cfg, cloud, true_xi, guess_xi=None, seed=0):
+    """Register cloud against its transform; return recovered correction [6]."""
+    r_true, t_true = geo.se3_exp(jnp.asarray(true_xi, jnp.float32))
+    target = geo.transform_points(r_true, t_true, jnp.asarray(cloud))
+    if guess_xi is None:
+        r0 = jnp.eye(3)
+        t0 = jnp.zeros(3)
+    else:
+        r0, t0 = geo.se3_exp(jnp.asarray(guess_xi, jnp.float32))
+    key = jax.random.PRNGKey(seed)
+    init = svn.init_particles_uniform(key, cfg.particle_count, cfg.init_lb, cfg.init_ub)
+    src_valid = jnp.ones(cloud.shape[0], bool)
+    res = svn.register(
+        cfg, jnp.asarray(cloud), src_valid, target, jnp.ones(target.shape[0], bool),
+        r0, t0, init,
+    )
+    # final pose = guess ∘ correction
+    rc, tc = geo.so3_exp(res.mean[3:]), res.mean[:3]
+    r_fin, t_fin = geo.transform_compose(r0, t0, rc, tc)
+    return res, np.asarray(r_fin), np.asarray(t_fin), np.asarray(r_true), np.asarray(t_true)
+
+
+CFG = SteinICPConfig(particle_count=16, iterations=60, lr=1.0, max_dist=2.8,
+                     knn_count=32, early_stop=True, convergence_threshold=1e-4)
+
+
+class TestRecovery:
+    def test_single_particle_newton(self, rng):
+        cloud = make_structured_cloud(rng)
+        cfg = CFG.__class__(**{**CFG.__dict__, "particle_count": 1})
+        true_xi = np.array([0.3, -0.2, 0.1, 0.02, -0.03, 0.05])
+        res, r_fin, t_fin, r_true, t_true = run_registration(cfg, cloud, true_xi)
+        assert np.linalg.norm(t_fin - t_true) < 0.02
+        assert np.linalg.norm(r_fin - r_true) < 0.01
+        assert int(res.iterations) < cfg.iterations  # early stop fired
+
+    def test_ensemble_recovers_transform(self, rng):
+        cloud = make_structured_cloud(rng)
+        true_xi = np.array([0.25, -0.15, 0.08, 0.02, -0.02, 0.04])
+        res, r_fin, t_fin, r_true, t_true = run_registration(CFG, cloud, true_xi)
+        assert np.linalg.norm(t_fin - t_true) < 0.05
+        assert np.linalg.norm(r_fin - r_true) < 0.02
+
+    def test_svn_full_grad_recovers_transform(self, rng):
+        cloud = make_structured_cloud(rng)
+        cfg = CFG.__class__(**{**CFG.__dict__, "svn_full_grad": True, "lr": 1.0})
+        true_xi = np.array([0.2, -0.1, 0.06, 0.015, -0.02, 0.03])
+        res, r_fin, t_fin, r_true, t_true = run_registration(cfg, cloud, true_xi)
+        assert np.linalg.norm(t_fin - t_true) < 0.08
+        assert np.linalg.norm(r_fin - r_true) < 0.03
+
+    def test_ensemble_variance_small_on_clean_data(self, rng):
+        cloud = make_structured_cloud(rng)
+        true_xi = np.array([0.2, -0.1, 0.05, 0.01, -0.01, 0.02])
+        res, *_ = run_registration(CFG, cloud, true_xi)
+        var = np.asarray(res.var)
+        init_var = (np.array(CFG.init_ub) - np.array(CFG.init_lb)) ** 2 / 12.0
+        # well-constrained geometry: particles collapse far below the prior
+        assert (var[:3] < init_var[:3]).all()
+
+    def test_degenerate_corridor_has_larger_along_track_variance(self, rng):
+        # Two parallel walls along x: sliding along the corridor is (nearly)
+        # unobservable. Source and target are sampled *independently* from the
+        # surfaces — sharing samples would make point-to-point ICP fully
+        # constrained and hide the degeneracy.
+        def corridor(n):
+            y = np.concatenate([np.full(n // 2, 4.0), np.full(n - n // 2, -4.0)])
+            c = np.stack([rng.uniform(-20, 20, n), y, rng.uniform(0, 3, n)], axis=1)
+            return (c + rng.normal(scale=0.01, size=c.shape)).astype(np.float32)
+
+        src, tgt = corridor(1000), corridor(2000)
+        cfg = CFG.__class__(**{**CFG.__dict__, "iterations": 40, "early_stop": False})
+        init = svn.init_particles_uniform(
+            jax.random.PRNGKey(0), cfg.particle_count, cfg.init_lb, cfg.init_ub
+        )
+        res = svn.register(
+            cfg, jnp.asarray(src), jnp.ones(len(src), bool),
+            jnp.asarray(tgt), jnp.ones(len(tgt), bool),
+            jnp.eye(3), jnp.zeros(3), init,
+        )
+        var = np.asarray(res.var)
+        assert var[0] > 5.0 * var[1]  # x (along corridor) much less certain than y
+
+
+class TestPieces:
+    def test_rbf_kernel_properties(self, rng):
+        x = jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32))
+        k, h, diff = svn.rbf_kernel(x)
+        k_np = np.asarray(k)
+        np.testing.assert_allclose(np.diag(k_np), 1.0, atol=1e-6)
+        np.testing.assert_allclose(k_np, k_np.T, atol=1e-6)
+        assert (k_np > 0).all() and (k_np <= 1.0 + 1e-6).all()
+
+    def test_rbf_kernel_collapsed_particles_safe(self):
+        x = jnp.ones((8, 6))
+        k, h, diff = svn.rbf_kernel(x)
+        assert np.isfinite(np.asarray(k)).all()
+
+    def test_init_particles(self):
+        key = jax.random.PRNGKey(0)
+        p = svn.init_particles_uniform(key, 64, CFG.init_lb, CFG.init_ub)
+        lo, hi = np.array(CFG.init_lb), np.array(CFG.init_ub)
+        assert (np.asarray(p) >= lo - 1e-6).all() and (np.asarray(p) <= hi + 1e-6).all()
+        assert svn.init_particles_uniform(key, 1, CFG.init_lb, CFG.init_ub).shape == (1, 6)
+        assert (np.asarray(svn.init_particles_uniform(key, 1, CFG.init_lb, CFG.init_ub)) == 0).all()
+        g = svn.init_particles_gaussian(key, 64, [0.1] * 6)
+        assert (np.abs(np.asarray(g)) <= 0.3 + 1e-6).all()
+
+    def test_history_matches_align(self, rng):
+        cloud = make_structured_cloud(rng, n=300)
+        true_xi = np.array([0.1, -0.05, 0.02, 0.01, 0.0, 0.02])
+        r_true, t_true = geo.se3_exp(jnp.asarray(true_xi, jnp.float32))
+        target = geo.transform_points(r_true, t_true, jnp.asarray(cloud))
+        key = jax.random.PRNGKey(3)
+        init = svn.init_particles_uniform(key, 8, CFG.init_lb, CFG.init_ub)
+        src_valid = jnp.ones(cloud.shape[0], bool)
+        from svnicp_tpu.kernels import knn as knn_mod
+
+        cand_idx, cand_d2 = knn_mod.knn_candidates(
+            jnp.asarray(cloud), target, src_valid, jnp.ones(target.shape[0], bool), CFG.knn_count
+        )
+        cand_pts, cand_valid = knn_mod.gather_candidates(target, cand_idx, cand_d2)
+        args = (jnp.asarray(cloud), src_valid, cand_pts, cand_valid, jnp.eye(3), jnp.zeros(3), init)
+        res = svn.align(CFG, *args)
+        res_h, history = svn.align_with_history(CFG, *args)
+        assert history.shape == (CFG.iterations, 8, 6)
+        np.testing.assert_allclose(np.asarray(res.mean), np.asarray(res_h.mean), atol=1e-5)
+        assert int(res.iterations) == int(res_h.iterations)
