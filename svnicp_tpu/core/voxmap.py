@@ -1,0 +1,153 @@
+"""Device-resident voxel-hash local map.
+
+TPU-native rebuild of the reference's CPU `VoxelHashMap`
+(ref: svn-icp/src/core/VoxelHashMap.cpp + include/core/VoxelHashMap.h:45-53,
+a tsl::robin_map<Vector3i, pcl::PointCloud>): the map lives entirely in
+device memory as a fixed-capacity *sorted-by-voxel-key* point table, so
+insertion, per-voxel capping, eviction and radius queries are dense sorts,
+segmented scans and masked gathers — no host round-trips and no pointers.
+
+Semantics preserved from the reference:
+- per-voxel point cap, first-come-first-kept (AddPointCloud,
+  VoxelHashMap.cpp:22-41: existing points survive, new ones fill remaining
+  slots);
+- whole-voxel eviction by the distance of the voxel's *first* point
+  (RemoveFarPointCloud, :93-101);
+- radius queries gate whole voxels by the first point's distance
+  (GetMap(pose,max_range), :51-61).
+
+Divergence (documented): global capacity is fixed; when a frame would
+overflow it, the newest points are dropped (the reference grows without
+bound). `insert` reports the drop count so callers can observe pressure.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from svnicp_tpu.core import geometry as geo
+from svnicp_tpu.core.pointcloud import INVALID_KEY, PaddedCloud, voxel_key
+
+
+class VoxelMap(NamedTuple):
+    """Sorted-by-key padded point table. Invalid slots carry INVALID_KEY and
+    sort to the end."""
+
+    points: jax.Array   # [C,3] world-frame points
+    key: jax.Array      # [C] int32 packed voxel id (sorted ascending)
+    valid: jax.Array    # [C] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[0]
+
+    def count(self) -> jax.Array:
+        return jnp.sum(self.valid)
+
+    def empty(self) -> jax.Array:
+        return ~jnp.any(self.valid)
+
+
+def create(capacity: int, dtype=jnp.float32) -> VoxelMap:
+    return VoxelMap(
+        points=jnp.zeros((capacity, 3), dtype),
+        key=jnp.full((capacity,), INVALID_KEY, jnp.int32),
+        valid=jnp.zeros((capacity,), bool),
+    )
+
+
+def _first_point_per_run(sorted_key: jax.Array) -> jax.Array:
+    """For each slot of a key-sorted array, the index of the first slot with
+    the same key (the voxel's 'first point')."""
+    n = sorted_key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
+    return jax.lax.cummax(jnp.where(first, idx, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("voxel_size", "max_points_per_voxel", "max_range"))
+def insert(
+    vmap_state: VoxelMap,
+    scan: PaddedCloud,        # points in the *scan* frame
+    pose_r: jax.Array,        # [3,3] world pose of the scan
+    pose_t: jax.Array,        # [3]
+    voxel_size: float,
+    max_points_per_voxel: int,
+    max_range: float,
+) -> tuple[VoxelMap, jax.Array]:
+    """Transform the scan to world, merge into the map with per-voxel caps,
+    then evict voxels far from the current position.
+
+    Returns (new map, dropped point count). One fused device program per
+    frame (ref: AddPointCloud + RemoveFarPointCloud).
+    """
+    c = vmap_state.capacity
+    world_pts = geo.transform_points(pose_r, pose_t, scan.points)
+    new_key = jnp.where(scan.valid, voxel_key(world_pts, voxel_size), INVALID_KEY)
+
+    # old points first => stable sort keeps them ahead of new ones per voxel
+    all_pts = jnp.concatenate([vmap_state.points, world_pts], axis=0)
+    all_key = jnp.concatenate([vmap_state.key, new_key], axis=0)
+
+    order = jnp.argsort(all_key, stable=True)
+    skey = all_key[order]
+    spts = all_pts[order]
+
+    # per-voxel rank; cap at max_points_per_voxel
+    start = _first_point_per_run(skey)
+    rank = jnp.arange(skey.shape[0], dtype=jnp.int32) - start
+    keep = (skey != INVALID_KEY) & (rank < max_points_per_voxel)
+
+    # whole-voxel eviction by the first point's distance (reference semantics)
+    d2_first = jnp.sum((spts[start] - pose_t[None, :]) ** 2, axis=-1)
+    keep &= d2_first <= max_range * max_range
+
+    kept_total = jnp.sum(keep)
+    # compact to capacity: kept slots first, stable => keeps sorted key order
+    korder = jnp.argsort(~keep, stable=True)[:c]
+    out_keep = keep[korder]
+    out_key = jnp.where(out_keep, skey[korder], INVALID_KEY)
+    out_pts = jnp.where(out_keep[:, None], spts[korder], 0.0)
+
+    # restore global key-sorted invariant (invalid keys sort to the end)
+    final = jnp.argsort(out_key, stable=True)
+    new_map = VoxelMap(out_pts[final], out_key[final], out_keep[final])
+    dropped = jnp.maximum(kept_total - c, 0)
+    return new_map, dropped
+
+
+@functools.partial(jax.jit, static_argnames=("target_capacity",))
+def query_radius(
+    vmap_state: VoxelMap,
+    center: jax.Array,        # [3] query position (current pose translation)
+    radius: jax.Array,        # scalar
+    target_capacity: int,
+) -> tuple[PaddedCloud, jax.Array]:
+    """Extract all map points whose voxel's first point lies within `radius`,
+    compacted into a fixed-size target cloud (ref: GetMap(pose, max_range),
+    VoxelHashMap.cpp:51-61). Falls back to the whole map when the radius
+    selects nothing (ref: OdometryPipeline.cpp:578-580).
+
+    Returns (target cloud [target_capacity], overflow count of in-radius
+    points that did not fit).
+    """
+    start = _first_point_per_run(vmap_state.key)
+    d2_first = jnp.sum((vmap_state.points[start] - center[None, :]) ** 2, axis=-1)
+    in_radius = vmap_state.valid & (d2_first <= radius * radius)
+    any_hit = jnp.any(in_radius)
+    selected = jnp.where(any_hit, in_radius, vmap_state.valid)
+
+    order = jnp.argsort(~selected, stable=True)[:target_capacity]
+    keep = selected[order]
+    pts = jnp.where(keep[:, None], vmap_state.points[order], 0.0)
+    overflow = jnp.maximum(jnp.sum(selected) - target_capacity, 0)
+    return PaddedCloud(pts, keep), overflow
+
+
+def get_all(vmap_state: VoxelMap) -> PaddedCloud:
+    """The whole map as a padded cloud (ref: GetMap(), VoxelHashMap.cpp:43-49)."""
+    return PaddedCloud(vmap_state.points, vmap_state.valid)
