@@ -33,6 +33,28 @@ _HALF = 1 << (_BITS - 1)
 INVALID_KEY = jnp.int32(2**31 - 1)
 
 
+def hash32(x: jax.Array) -> jax.Array:
+    """Avalanche integer hash (int32, wrapping). Used to order capacity
+    truncation: dropping by hash order is spatially uniform, dropping by
+    packed-key order would discard one side of the scene."""
+    x = x.astype(jnp.uint32)
+    x ^= x >> 16
+    x *= jnp.uint32(0x7FEB352D)
+    x ^= x >> 15
+    x *= jnp.uint32(0x846CA68B)
+    x ^= x >> 16
+    return x.astype(jnp.int32)
+
+
+def compaction_order(keep: jax.Array, key: jax.Array) -> jax.Array:
+    """Permutation putting kept entries first, kept entries ordered by
+    hash(key) so any capacity truncation drops a spatially-uniform subset."""
+    h = hash32(key)
+    rank = jnp.where(keep, h, jnp.iinfo(jnp.int32).max)
+    # secondary argsort index keeps this deterministic across ties
+    return jnp.argsort(rank, stable=True)
+
+
 class PaddedCloud(NamedTuple):
     points: jax.Array  # [N,3]
     valid: jax.Array   # [N] bool
@@ -108,8 +130,8 @@ def downsample_uniform(
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     keep = first & (skey != INVALID_KEY)
 
-    # compact: selected first (stable), then gather
-    order = jnp.argsort(~keep, stable=True)
+    # compact: selected first in hash order (unbiased capacity truncation)
+    order = compaction_order(keep, skey)
     sel_idx = sidx[order[:capacity]]
     sel_keep = keep[order[:capacity]]
     pts = cloud.points[sel_idx]

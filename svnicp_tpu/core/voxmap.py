@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from svnicp_tpu.core import geometry as geo
-from svnicp_tpu.core.pointcloud import INVALID_KEY, PaddedCloud, voxel_key
+from svnicp_tpu.core.pointcloud import (INVALID_KEY, PaddedCloud, compaction_order, voxel_key)
 
 
 class VoxelMap(NamedTuple):
@@ -107,8 +107,9 @@ def insert(
     keep &= d2_first <= max_range * max_range
 
     kept_total = jnp.sum(keep)
-    # compact to capacity: kept slots first, stable => keeps sorted key order
-    korder = jnp.argsort(~keep, stable=True)[:c]
+    # compact to capacity: kept slots first, ordered by key hash so an
+    # overflowing frame sheds a spatially-uniform subset (not one region)
+    korder = compaction_order(keep, skey)[:c]
     out_keep = keep[korder]
     out_key = jnp.where(out_keep, skey[korder], INVALID_KEY)
     out_pts = jnp.where(out_keep[:, None], spts[korder], 0.0)
@@ -141,7 +142,7 @@ def query_radius(
     any_hit = jnp.any(in_radius)
     selected = jnp.where(any_hit, in_radius, vmap_state.valid)
 
-    order = jnp.argsort(~selected, stable=True)[:target_capacity]
+    order = compaction_order(selected, vmap_state.key)[:target_capacity]
     keep = selected[order]
     pts = jnp.where(keep[:, None], vmap_state.points[order], 0.0)
     overflow = jnp.maximum(jnp.sum(selected) - target_capacity, 0)

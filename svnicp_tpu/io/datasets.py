@@ -1,0 +1,154 @@
+"""Dataset utilities: synthetic LiDAR worlds and KITTI-format readers.
+
+The reference consumes ROS bags (ref: svn-icp/launch/*.launch.py topics);
+this framework is ROS-free: readers produce (timestamp, points[, per-point
+times]) streams and IMU tuples directly. The synthetic world provides
+ground-truthed sequences for integration tests and benchmarks (the reference
+had no test data at all, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SyntheticWorld:
+    """A random structured environment: ground plane + walls + boxes.
+
+    Dense enough that scans from nearby poses overlap; sampled independently
+    per scan so point-to-point ICP sees realistic correspondence noise.
+    """
+
+    extent: float = 60.0
+    n_walls: int = 14
+    n_boxes: int = 10
+    seed: int = 0
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        self._surfaces = []  # (origin[3], u[3], v[3], u_len, v_len)
+        e = self.extent
+        # ground
+        self._surfaces.append((np.array([-e, -e, 0.0]), np.array([1.0, 0, 0]),
+                               np.array([0, 1.0, 0]), 2 * e, 2 * e))
+        for _ in range(self.n_walls):
+            x, y = rng.uniform(-e, e, 2)
+            ang = rng.uniform(0, np.pi)
+            length = rng.uniform(8, 30)
+            height = rng.uniform(2, 6)
+            u = np.array([np.cos(ang), np.sin(ang), 0.0])
+            self._surfaces.append((np.array([x, y, 0.0]), u, np.array([0, 0, 1.0]),
+                                   length, height))
+        for _ in range(self.n_boxes):
+            x, y = rng.uniform(-e, e, 2)
+            s = rng.uniform(1, 4)
+            for du, dv, o in [((1, 0, 0), (0, 0, 1), (0, -s / 2, 0)),
+                              ((0, 1, 0), (0, 0, 1), (-s / 2, 0, 0))]:
+                self._surfaces.append((np.array([x, y, 0.0]) + np.asarray(o),
+                                       np.asarray(du, float), np.asarray(dv, float), s, s))
+
+    def sample_surface_points(self, rng, n: int) -> np.ndarray:
+        areas = np.array([ul * vl for (_, _, _, ul, vl) in self._surfaces])
+        # down-weight the ground plane: vertical structure is what constrains
+        # xy/yaw, and real LiDAR returns are similarly wall-heavy at range
+        areas[0] *= 0.15
+        probs = areas / areas.sum()
+        counts = rng.multinomial(n, probs)
+        pts = []
+        for (o, u, v, ul, vl), c in zip(self._surfaces, counts):
+            a = rng.uniform(0, ul, c)[:, None]
+            b = rng.uniform(0, vl, c)[:, None]
+            pts.append(o[None] + a * u[None] + b * v[None])
+        return np.concatenate(pts, axis=0)
+
+    def scan_at(self, rng, pose_r: np.ndarray, pose_t: np.ndarray,
+                n_points: int = 8000, max_range: float = 45.0,
+                noise: float = 0.02) -> np.ndarray:
+        """Sample a scan in the sensor frame from pose (R,t)."""
+        world_pts = self.sample_surface_points(rng, n_points * 3)
+        d = np.linalg.norm(world_pts - pose_t[None], axis=1)
+        world_pts = world_pts[(d < max_range) & (d > 1.0)]
+        if len(world_pts) > n_points:
+            world_pts = world_pts[rng.choice(len(world_pts), n_points, replace=False)]
+        local = (world_pts - pose_t[None]) @ pose_r  # R^T (p - t)
+        return (local + rng.normal(scale=noise, size=local.shape)).astype(np.float32)
+
+
+def synthetic_trajectory(n_frames: int, dt: float = 0.1, speed: float = 1.5,
+                         turn_rate: float = 0.08, seed: int = 0):
+    """Smooth planar trajectory with yaw following heading.
+
+    Returns (times [N], rotations [N,3,3], translations [N,3]).
+    """
+    rng = np.random.default_rng(seed)
+    times = np.arange(n_frames) * dt
+    yaw = np.cumsum(rng.normal(loc=turn_rate, scale=0.02, size=n_frames) * dt)
+    heading = np.stack([np.cos(yaw), np.sin(yaw), np.zeros(n_frames)], axis=1)
+    pos = np.cumsum(heading * speed * dt, axis=0)
+    pos[:, 2] = 0.8 + 0.05 * np.sin(times)
+    rots = np.zeros((n_frames, 3, 3))
+    for i in range(n_frames):
+        c, s = np.cos(yaw[i]), np.sin(yaw[i])
+        rots[i] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    return times, rots, pos
+
+
+def synthetic_imu(times, rots, trans, gravity: float):
+    """IMU samples consistent with a discrete trajectory (midpoint rates).
+
+    Returns list of (t, acc[3], gyro[3]) at the trajectory timestamps.
+    acc is the specific force in body frame: R^T (a_nav + g_up).
+    """
+    n = len(times)
+    imu = []
+    vel = np.gradient(trans, times, axis=0)
+    acc_nav = np.gradient(vel, times, axis=0)
+    g_up = np.array([0.0, 0.0, gravity])
+    for i in range(n):
+        r = rots[i]
+        if i + 1 < n:
+            dr = r.T @ rots[i + 1]
+            # rotation vector of dr over dt
+            from scipy.spatial.transform import Rotation as sr
+
+            w = sr.from_matrix(dr).as_rotvec() / (times[i + 1] - times[i])
+        else:
+            w = np.zeros(3)
+        f = r.T @ (acc_nav[i] + g_up)
+        imu.append((float(times[i]), f, w))
+    return imu
+
+
+# ---------------------------------------------------------------------------
+# KITTI odometry format
+# ---------------------------------------------------------------------------
+
+
+def read_kitti_bin(path: str) -> np.ndarray:
+    """One KITTI velodyne .bin scan -> [N,3] float32 (drops intensity)."""
+    raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    return np.ascontiguousarray(raw[:, :3])
+
+
+def read_kitti_poses(path: str) -> np.ndarray:
+    """KITTI poses.txt -> [N,4,4] homogeneous cam0 poses."""
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    n = rows.shape[0]
+    out = np.tile(np.eye(4), (n, 1, 1))
+    out[:, :3, :] = rows
+    return out
+
+
+def kitti_sequence(velodyne_dir: str, times_path: str | None = None):
+    """Iterate (t, points) over a KITTI sequence directory."""
+    files = sorted(f for f in os.listdir(velodyne_dir) if f.endswith(".bin"))
+    if times_path and os.path.exists(times_path):
+        times = np.loadtxt(times_path)
+    else:
+        times = np.arange(len(files)) * 0.1
+    for t, f in zip(times, files):
+        yield float(t), read_kitti_bin(os.path.join(velodyne_dir, f))

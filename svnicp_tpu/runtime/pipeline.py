@@ -1,0 +1,407 @@
+"""The odometry pipeline: one jitted step per LiDAR frame + a host driver.
+
+TPU-native re-design of the reference's `OdometryPipeline`
+(ref: svn-icp/src/core/OdometryPipeline.cpp): the mutable ROS node with 8
+mutex-guarded ring buffers and a dedicated ICP thread becomes
+
+- a **pure jitted step** `odometry_step(cfg, state, inputs) -> (state, out)`
+  holding the voxel map, ESKF, pose history and smoother rings in one pytree
+  (everything the reference kept as members);
+- a small **host driver** (`LIOPipeline`) that only does what must stay on
+  the host: IMU<->LiDAR timestamp reconciliation (ref: :475-530), frame-gap
+  gating (:528), array staging, and record collection.
+
+Per-frame phases mirror §3.3 of SURVEY.md: sync -> preprocess (deskew, crop,
+two-stage downsample, :549-560) -> predict (:564) -> fresh particle prior
+(:573) -> map query (:576-581) -> SVN align (:598) -> update (ICP compose or
+ESKF fusion, :615) -> map insert (:630) -> outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svnicp_tpu.config import PipelineConfig
+from svnicp_tpu.core import eskf as eskf_mod
+from svnicp_tpu.core import geometry as geo
+from svnicp_tpu.core import imu as imu_mod
+from svnicp_tpu.core import pointcloud as pc
+from svnicp_tpu.core import smoother
+from svnicp_tpu.core import svn
+from svnicp_tpu.core import voxmap
+
+
+class OdometryState(NamedTuple):
+    """Everything that persists across frames, as one device pytree."""
+
+    vmap: voxmap.VoxelMap
+    eskf: eskf_mod.ESKFState
+    pose_r: jax.Array          # [3,3] latest pose (T_{k-1})
+    pose_t: jax.Array          # [3]
+    prev_r: jax.Array          # [3,3] T_{k-2} (constant-velocity prediction)
+    prev_t: jax.Array          # [3]
+    pose_time: jax.Array       # scalar: stamp of T_{k-1}
+    prev_time: jax.Array       # scalar: stamp of T_{k-2}
+    rings: smoother.VarianceRings
+    rng: jax.Array             # PRNG key for per-frame particle priors
+    frame_idx: jax.Array       # int32
+
+
+class FrameInput(NamedTuple):
+    """Host-staged inputs for one frame (fixed shapes)."""
+
+    points: jax.Array          # [Nraw,3] scan in the (extrinsic-compensated) body frame
+    valid: jax.Array           # [Nraw]
+    timestamps: jax.Array      # [Nraw] per-point time for deskewing (0 if absent)
+    time: jax.Array            # scalar frame stamp [s]
+    imu: imu_mod.IMUSample     # [W]-batched window covering (t_{k-1}, t_k]
+    imu_valid: jax.Array       # [W] bool
+
+
+class FrameOutput(NamedTuple):
+    """Per-frame observables (the reference publishes these as 13 topics,
+    ref: OdometryPipeline.cpp:89-103; here one structured pytree)."""
+
+    pose_r: jax.Array          # [3,3]
+    pose_t: jax.Array          # [3]
+    guess_r: jax.Array         # [3,3] prediction before the ICP update
+    guess_t: jax.Array
+    velocity: jax.Array        # [3]
+    particles: jax.Array       # [P,6] final local particles
+    weights: jax.Array         # [P]
+    var_icp: jax.Array         # [6] raw ICP variance
+    var_mean: jax.Array        # [6] mean-window filtered
+    var_max_sliding: jax.Array # [6] max-sliding-window filtered (scaled)
+    var_random_walk: jax.Array # [6] KF process-noise echo
+    cov: jax.Array             # [6,6] full particle covariance
+    icp_iterations: jax.Array  # scalar int32
+    icp_grad_norm: jax.Array
+    map_points: jax.Array      # scalar int32
+    map_dropped: jax.Array     # scalar int32
+    target_overflow: jax.Array # scalar int32
+
+
+def init_state(cfg: PipelineConfig) -> OdometryState:
+    dtype = jnp.dtype(cfg.dtype)
+    return OdometryState(
+        vmap=voxmap.create(cfg.map.capacity, dtype),
+        eskf=eskf_mod.create(cfg.lio, cfg.imu, dtype),
+        pose_r=jnp.eye(3, dtype=dtype),
+        pose_t=jnp.zeros(3, dtype),
+        prev_r=jnp.eye(3, dtype=dtype),
+        prev_t=jnp.zeros(3, dtype),
+        pose_time=jnp.zeros((), dtype),
+        prev_time=jnp.zeros((), dtype),
+        rings=smoother.create(dtype=dtype),
+        rng=jax.random.PRNGKey(cfg.seed),
+        frame_idx=jnp.zeros((), jnp.int32),
+    )
+
+
+def _imu_scan_predict(state: eskf_mod.ESKFState, window: imu_mod.IMUSample,
+                      valid: jax.Array, noise) -> eskf_mod.ESKFState:
+    """Run ESKF predict over a padded IMU window with a lax.scan.
+
+    Each window element is the *finish* sample of one propagation interval;
+    the carry holds the previous sample (the reference's imu_previous).
+    """
+
+    def body(carry, inp):
+        st, prev = carry
+        sample, ok = inp
+        st_next = eskf_mod.predict(st, prev, sample, noise)
+        st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), st_next, st)
+        prev = jax.tree.map(lambda a, b: jnp.where(ok, a, b), sample, prev)
+        return (st, prev), None
+
+    first = jax.tree.map(lambda a: a[0], window)
+    (st, _), _ = jax.lax.scan(body, (state, first), (window, valid))
+    return st
+
+
+def _preprocess(cfg: PipelineConfig, state: OdometryState, frame: FrameInput):
+    """Deskew + crop + two-stage downsample (ref: OdometryPipeline.cpp:549-560)."""
+    points = frame.points
+    if cfg.preprocess.deskew:
+        # relative motion of the last two poses (ref: deskew_pointcloud :425-432)
+        rd, td = geo.transform_compose(
+            *geo.transform_inverse(state.prev_r, state.prev_t), state.pose_r, state.pose_t
+        )
+        delta_xi = geo.se3_log(rd, td)
+        have_hist = state.frame_idx >= 2
+        delta_xi = jnp.where(have_hist, delta_xi, jnp.zeros(6, points.dtype))
+        points = pc.deskew(points, frame.valid, frame.timestamps, delta_xi)
+
+    cropped = pc.crop(pc.PaddedCloud(points, frame.valid),
+                      cfg.preprocess.min_range, cfg.preprocess.max_range)
+    to_map = pc.downsample_uniform(cropped, 0.5 * cfg.preprocess.voxel_size,
+                                   cfg.icp.source_capacity * 2)
+    source = pc.downsample_uniform(to_map, 1.5 * cfg.preprocess.voxel_size,
+                                   cfg.icp.source_capacity)
+    return cropped, to_map, source
+
+
+def _predict_pose(cfg: PipelineConfig, state: OdometryState, time: jax.Array):
+    """Initial guess: ESKF pose in KF mode (ref: ESEKF.cpp:68), constant
+    velocity extrapolation in ICP mode (ref: OdometryPipeline.cpp:706-737)."""
+    if cfg.lio.estimator == "kf":
+        return state.eskf.nav.r, state.eskf.nav.t
+    rd, td = geo.transform_compose(
+        *geo.transform_inverse(state.prev_r, state.prev_t), state.pose_r, state.pose_t
+    )
+    xi = geo.se3_log(rd, td)
+    dt_hist = state.pose_time - state.prev_time
+    ratio = jnp.where(dt_hist > 0, (time - state.pose_time) / jnp.maximum(dt_hist, 1e-9), 0.0)
+    have_hist = state.frame_idx >= 2
+    ri, ti = geo.se3_exp(jnp.where(have_hist, ratio * xi, jnp.zeros_like(xi)))
+    return geo.transform_compose(state.pose_r, state.pose_t, ri, ti)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bootstrap_frame(cfg: PipelineConfig, state: OdometryState, frame: FrameInput):
+    """First frame: seed the map at the initial guess, no alignment
+    (ref: OdometryPipeline.cpp:583-591)."""
+    cropped, _, _ = _preprocess(cfg, state, frame)
+    guess_r, guess_t = _predict_pose(cfg, state, frame.time)
+    new_map, dropped = voxmap.insert(
+        state.vmap, cropped, guess_r, guess_t,
+        cfg.map.voxel_size, cfg.map.max_points_per_voxel, cfg.map.max_range,
+    )
+    state = state._replace(
+        vmap=new_map,
+        prev_r=state.pose_r, prev_t=state.pose_t,
+        prev_time=state.pose_time,
+        pose_r=guess_r, pose_t=guess_t, pose_time=frame.time,
+        frame_idx=state.frame_idx + 1,
+    )
+    p = cfg.icp.particle_count
+    dtype = jnp.dtype(cfg.dtype)
+    zero6 = jnp.zeros(6, dtype)
+    return state, FrameOutput(
+        pose_r=guess_r, pose_t=guess_t, guess_r=guess_r, guess_t=guess_t,
+        velocity=state.eskf.nav.v,
+        particles=jnp.zeros((p, 6), dtype), weights=jnp.full((p,), 1.0 / p, dtype),
+        var_icp=zero6, var_mean=zero6, var_max_sliding=zero6,
+        var_random_walk=zero6, cov=1e-4 * jnp.eye(6, dtype=dtype),
+        icp_iterations=jnp.zeros((), jnp.int32), icp_grad_norm=jnp.zeros((), dtype),
+        map_points=new_map.count().astype(jnp.int32), map_dropped=dropped.astype(jnp.int32),
+        target_overflow=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(
+    cfg: PipelineConfig, state: OdometryState, frame: FrameInput
+) -> tuple[OdometryState, FrameOutput]:
+    """One LiDAR frame through the full pipeline (SURVEY.md §3.3)."""
+    dtype = jnp.dtype(cfg.dtype)
+
+    # --- ESKF propagation over the IMU window (KF mode)
+    if cfg.lio.estimator == "kf":
+        ekf = _imu_scan_predict(state.eskf, frame.imu, frame.imu_valid, cfg.imu)
+        state = state._replace(eskf=ekf)
+
+    # --- preprocess
+    cropped, to_map, source = _preprocess(cfg, state, frame)
+
+    # --- predict + fresh particle prior (re-seeded every frame, ref :573)
+    guess_r, guess_t = _predict_pose(cfg, state, frame.time)
+    rng, sub = jax.random.split(state.rng)
+    if cfg.icp.particle_count == 1:
+        init_particles = jnp.zeros((1, 6), dtype)
+    else:
+        lb = jnp.asarray(cfg.icp.init_lb, dtype)
+        ub = jnp.asarray(cfg.icp.init_ub, dtype)
+        init_particles = lb + (ub - lb) * jax.random.uniform(
+            sub, (cfg.icp.particle_count, 6), dtype
+        )
+
+    # --- local map query around the guess (ref :576-581; radius divergence
+    # documented in voxmap.py — reference effectively used the whole map)
+    target, overflow = voxmap.query_radius(
+        state.vmap, guess_t, jnp.asarray(cfg.preprocess.max_range + 10.0, dtype),
+        cfg.icp.target_capacity,
+    )
+
+    # --- SVN/SVGD alignment
+    result = svn.register(
+        cfg.icp, source.points, source.valid, target.points, target.valid,
+        guess_r, guess_t, init_particles,
+    )
+
+    # --- update
+    raw_var = result.var
+    scaled_var = raw_var * jnp.asarray(cfg.lio.icp_cov_scales, dtype)
+    var_mean = smoother.mean_filtered(state.rings)          # excludes current
+    rings = smoother.push(state.rings, raw_var, scaled_var)
+    var_max = smoother.max_filtered(rings)                  # includes current
+
+    rc, tc = geo.so3_exp(result.mean[3:]), result.mean[:3]
+    if cfg.lio.estimator == "icp":
+        pose_r, pose_t = geo.transform_compose(guess_r, guess_t, rc, tc)
+        ekf = state.eskf
+        var_rw = jnp.zeros(6, dtype)
+    else:
+        use_const = cfg.lio.use_const_cov or cfg.icp.particle_count == 1
+        if use_const:
+            ct, cr = cfg.lio.const_cov
+            meas_cov = jnp.diag(jnp.asarray([ct, ct, ct, cr, cr, cr], dtype))
+        elif cfg.lio.cov_filter == "mean":
+            meas_cov = jnp.diag(var_mean)
+        elif cfg.lio.cov_filter == "max_sliding_window":
+            meas_cov = jnp.diag(var_max)
+        else:
+            meas_cov = jnp.diag(raw_var)
+        ekf = eskf_mod.update(state.eskf, meas_cov, result.mean)
+        pose_r, pose_t = ekf.nav.r, ekf.nav.t
+        var_rw = eskf_mod.random_walk_variance(ekf)
+
+    # --- map update (finer cloud, ref :630)
+    new_map, dropped = voxmap.insert(
+        state.vmap, to_map, pose_r, pose_t,
+        cfg.map.voxel_size, cfg.map.max_points_per_voxel, cfg.map.max_range,
+    )
+
+    new_state = OdometryState(
+        vmap=new_map,
+        eskf=ekf,
+        pose_r=pose_r, pose_t=pose_t,
+        prev_r=state.pose_r, prev_t=state.pose_t,
+        pose_time=frame.time, prev_time=state.pose_time,
+        rings=rings,
+        rng=rng,
+        frame_idx=state.frame_idx + 1,
+    )
+    out = FrameOutput(
+        pose_r=pose_r, pose_t=pose_t, guess_r=guess_r, guess_t=guess_t,
+        velocity=ekf.nav.v,
+        particles=result.particles, weights=result.weights,
+        var_icp=raw_var, var_mean=var_mean, var_max_sliding=var_max,
+        var_random_walk=var_rw, cov=result.cov,
+        icp_iterations=result.iterations, icp_grad_norm=result.grad_norm,
+        map_points=new_map.count().astype(jnp.int32),
+        map_dropped=dropped.astype(jnp.int32),
+        target_overflow=overflow.astype(jnp.int32),
+    )
+    return new_state, out
+
+
+@dataclasses.dataclass
+class LIOPipeline:
+    """Host driver: sensor feeds, IMU<->LiDAR sync, frame staging.
+
+    Replaces the reference's callback threads + `ICP_processing` worker
+    (ref: OdometryPipeline.cpp:106-110, 449-658). The sync rules are the
+    reference's, expressed over host queues:
+    - scans older than the last processed frame + frame_gap are skipped;
+    - the IMU window handed to the device covers (t_prev, t_frame], with a
+      linear interpolation sample synthesized at the frame stamp when it
+      falls between two IMU samples (ref: :502-513).
+    """
+
+    cfg: PipelineConfig
+    imu_window: int = 256
+
+    def __post_init__(self):
+        self.state = init_state(self.cfg)
+        self._imu_times: list[float] = []
+        self._imu_samples: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self._last_frame_time: float | None = None
+        self._last_imu_time: float | None = None
+        self._frames = 0
+        self.outputs: list[FrameOutput] = []
+        self.times: list[float] = []
+
+    def feed_imu(self, t: float, acc, gyro) -> None:
+        dt = 0.0 if self._last_imu_time is None else t - self._last_imu_time
+        self._last_imu_time = t
+        self._imu_samples.append((dt, np.asarray(acc, np.float64), np.asarray(gyro, np.float64)))
+        self._imu_times.append(t)
+
+    def _take_imu_window(self, t_frame: float):
+        """Collect (dt, acc, gyro) triples covering up to t_frame, consuming
+        the queue; synthesizes the interpolated boundary sample."""
+        out = []
+        times = self._imu_times
+        samples = self._imu_samples
+        n_used = 0
+        for i, t in enumerate(times):
+            if t <= t_frame:
+                out.append(samples[i])
+                n_used = i + 1
+            else:
+                prev_t = times[i - 1] if i > 0 else None
+                if prev_t is not None and prev_t < t_frame < t:
+                    gap = t - prev_t
+                    off = t_frame - prev_t
+                    ratio = off / gap
+                    acc = (1 - ratio) * samples[i - 1][1] + ratio * samples[i][1]
+                    gyro = (1 - ratio) * samples[i - 1][2] + ratio * samples[i][2]
+                    out.append((off, acc, gyro))
+                    # shorten the following sample's dt to (t - t_frame)
+                    samples[i] = (gap - off, samples[i][1], samples[i][2])
+                break
+        del times[:n_used]
+        del samples[:n_used]
+        return out
+
+    def _stage_frame(self, t: float, points: np.ndarray, timestamps) -> FrameInput:
+        cap = self.cfg.preprocess.raw_capacity
+        nraw = min(len(points), cap)
+        pts = np.zeros((cap, 3), self.cfg.np_dtype)
+        pts[:nraw] = points[:nraw]
+        valid = np.zeros(cap, bool)
+        valid[:nraw] = True
+        ts = np.zeros(cap, self.cfg.np_dtype)
+        if timestamps is not None:
+            ts[:nraw] = np.asarray(timestamps[:nraw])
+
+        w = self.imu_window
+        triples = self._take_imu_window(t)[-w:]
+        dts = np.zeros(w, self.cfg.np_dtype)
+        accs = np.zeros((w, 3), self.cfg.np_dtype)
+        gyrs = np.zeros((w, 3), self.cfg.np_dtype)
+        iv = np.zeros(w, bool)
+        for i, (dt, a, g) in enumerate(triples):
+            dts[i], accs[i], gyrs[i], iv[i] = dt, a, g, True
+
+        return FrameInput(
+            points=jnp.asarray(pts), valid=jnp.asarray(valid), timestamps=jnp.asarray(ts),
+            time=jnp.asarray(t, self.cfg.np_dtype),
+            imu=imu_mod.IMUSample(jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs)),
+            imu_valid=jnp.asarray(iv),
+        )
+
+    def feed_scan(self, t: float, points: np.ndarray, timestamps=None) -> FrameOutput | None:
+        """Process one LiDAR scan; returns the frame output (or None when the
+        frame-gap gate drops it, ref: OdometryPipeline.cpp:528)."""
+        if self._last_frame_time is not None and (
+            t - self._last_frame_time < self.cfg.lio.frame_gap_seconds
+        ):
+            return None
+        frame = self._stage_frame(t, points, timestamps)
+        if self._frames == 0:
+            self.state, out = bootstrap_frame(self.cfg, self.state, frame)
+        else:
+            self.state, out = odometry_step(self.cfg, self.state, frame)
+        self._frames += 1
+        self._last_frame_time = t
+        self.outputs.append(out)
+        self.times.append(t)
+        return out
+
+    def trajectory(self) -> np.ndarray:
+        """[N,4,4] homogeneous poses of all processed frames."""
+        mats = []
+        for o in self.outputs:
+            m = np.eye(4)
+            m[:3, :3] = np.asarray(o.pose_r)
+            m[:3, 3] = np.asarray(o.pose_t)
+            mats.append(m)
+        return np.stack(mats) if mats else np.zeros((0, 4, 4))

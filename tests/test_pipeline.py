@@ -1,0 +1,130 @@
+"""End-to-end pipeline tests on synthetic ground-truthed sequences
+(SURVEY.md §4 integration strategy: 20-frame corridor vs ground truth)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from svnicp_tpu import config as cfg_mod
+from svnicp_tpu.io import datasets, metrics
+from svnicp_tpu.runtime import pipeline as pl
+
+
+def small_cfg(**over):
+    base = dict(
+        icp=cfg_mod.SteinICPConfig(
+            particle_count=8, iterations=30, lr=1.0, max_dist=2.8, knn_count=16,
+            early_stop=True, convergence_threshold=5e-4,
+            source_capacity=1024, target_capacity=8192,
+        ),
+        map=cfg_mod.MapConfig(voxel_size=1.0, max_points_per_voxel=10,
+                              max_range=120.0, capacity=32768),
+        preprocess=cfg_mod.PreprocessConfig(min_range=1.0, max_range=50.0,
+                                            voxel_size=1.0, raw_capacity=8192),
+        lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
+    )
+    base.update(over)
+    return cfg_mod.PipelineConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return datasets.SyntheticWorld(extent=40.0, seed=3)
+
+
+def run_sequence(cfg, world, n_frames=12, seed=5, with_imu=False):
+    times, rots, trans = datasets.synthetic_trajectory(n_frames, dt=0.1, speed=1.2, seed=seed)
+    rng = np.random.default_rng(seed)
+    pipe = pl.LIOPipeline(cfg)
+    if with_imu:
+        from svnicp_tpu.core.imu import GRAVITY
+
+        for t, acc, gyro in datasets.synthetic_imu(times, rots, trans, GRAVITY):
+            pipe.feed_imu(t, acc, gyro)
+    for i in range(n_frames):
+        scan = world.scan_at(rng, rots[i], trans[i], n_points=4000, noise=0.01)
+        pipe.feed_scan(float(times[i]), scan)
+    gt = np.tile(np.eye(4), (n_frames, 1, 1))
+    gt[:, :3, :3] = rots
+    gt[:, :3, 3] = trans
+    return pipe, gt
+
+
+class TestOdometryICPMode:
+    def test_short_sequence_tracks_ground_truth(self, world):
+        cfg = small_cfg()
+        pipe, gt = run_sequence(cfg, world, n_frames=12)
+        est = pipe.trajectory()
+        assert est.shape == gt.shape
+        ate = metrics.ate_rmse(est, gt, align="first")
+        assert ate < 0.12, f"ATE {ate}"
+        rpe_t, rpe_r = metrics.rpe(est, gt)
+        assert rpe_t < 0.08, f"RPE-t {rpe_t}"
+        assert rpe_r < 0.02, f"RPE-r {rpe_r}"
+
+    def test_map_grows_and_outputs_sane(self, world):
+        cfg = small_cfg()
+        pipe, _ = run_sequence(cfg, world, n_frames=5)
+        outs = pipe.outputs
+        assert int(outs[0].map_points) > 0
+        assert int(outs[-1].map_points) > int(outs[0].map_points)
+        for o in outs[1:]:
+            assert np.isfinite(np.asarray(o.var_icp)).all()
+            assert int(o.icp_iterations) >= 1
+            assert np.isfinite(np.asarray(o.particles)).all()
+
+    def test_frame_gap_gating(self, world):
+        cfg = small_cfg(lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.15))
+        times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1)
+        rng = np.random.default_rng(0)
+        pipe = pl.LIOPipeline(cfg)
+        n_processed = 0
+        for i in range(6):
+            scan = world.scan_at(rng, rots[i], trans[i], n_points=2000)
+            if pipe.feed_scan(float(times[i]), scan) is not None:
+                n_processed += 1
+        assert n_processed == 3  # every other 0.1s frame passes the 0.15s gate
+
+
+class TestOdometryKFMode:
+    def test_kf_sequence_tracks_ground_truth(self, world):
+        cfg = small_cfg(
+            lio=cfg_mod.LIOConfig(estimator="kf", frame_gap_seconds=0.0),
+            imu=cfg_mod.IMUNoiseConfig.from_yaml_units(
+                [2.0, 2.0, 10.0], [50.0] * 3, [20.0] * 3, [500.0] * 3
+            ),
+        )
+        pipe, gt = run_sequence(cfg, world, n_frames=12, with_imu=True)
+        est = pipe.trajectory()
+        ate = metrics.ate_rmse(est, gt, align="first")
+        assert ate < 0.2, f"KF ATE {ate}"
+        # ESKF actually consumed IMU: velocity should be near the true speed
+        v = np.asarray(pipe.outputs[-1].velocity)
+        assert 0.3 < np.linalg.norm(v) < 3.0
+
+    def test_variance_filters_populated(self, world):
+        cfg = small_cfg(
+            lio=cfg_mod.LIOConfig(estimator="kf", frame_gap_seconds=0.0,
+                                  cov_filter="max_sliding_window"),
+        )
+        pipe, _ = run_sequence(cfg, world, n_frames=6, with_imu=True)
+        last = pipe.outputs[-1]
+        assert (np.asarray(last.var_max_sliding) >= np.asarray(last.var_icp) - 1e-12).all()
+        assert np.isfinite(np.asarray(last.var_mean)).all()
+
+
+class TestMetrics:
+    def test_ate_zero_for_identical(self):
+        poses = np.tile(np.eye(4), (10, 1, 1))
+        poses[:, 0, 3] = np.arange(10)
+        assert metrics.ate_rmse(poses, poses) < 1e-9
+        assert metrics.rpe(poses, poses)[0] < 1e-9
+
+    def test_umeyama_recovers_offset(self, rng):
+        gt = rng.normal(size=(20, 3))
+        r, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(r) < 0:
+            r[:, 0] *= -1
+        est = gt @ r.T + np.array([5.0, -3.0, 2.0])
+        assert metrics.ate_rmse(est, gt, align="umeyama") < 1e-6
