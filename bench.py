@@ -1,0 +1,96 @@
+"""Benchmark: LiDAR odometry frames/sec/chip at 64 particles.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Operating point mirrors the reference's GEODE-Alpha config scaled to the
+BASELINE.json measurement ladder (64 particles): 100 iterations with
+early-stop 5e-4, K=100 candidates, max_dist 3.0, 1.0 m voxels
+(ref: svn-icp/config/geodeAlpha.yaml:4-35). Synthetic ground-truthed world;
+steady-state timing excludes compilation (first frames are warmup).
+
+vs_baseline is the speedup over the same pipeline on a single CPU host
+(CPU_BASELINE_FPS below, measured with `python bench.py --cpu-baseline` on
+the dev host: 2-core container, JAX CPU backend). The BASELINE.json target
+is >=10x single-CPU throughput per chip.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# Measured on this container's CPU (2 cores) with `--cpu-baseline --frames 5`:
+# {"metric": "cpu_baseline_frames_per_sec", "value": 0.0451}
+CPU_BASELINE_FPS = 0.0451
+
+
+def build(n_frames: int, particles: int):
+    from svnicp_tpu import config as cfg_mod
+    from svnicp_tpu.io import datasets
+    from svnicp_tpu.runtime import pipeline as pl
+
+    cfg = cfg_mod.PipelineConfig(
+        icp=cfg_mod.SteinICPConfig(
+            particle_count=particles, iterations=100, lr=1.0, max_dist=3.0,
+            knn_count=100, early_stop=True, convergence_threshold=5e-4,
+            source_capacity=4096, target_capacity=65536,
+        ),
+        map=cfg_mod.MapConfig(voxel_size=1.0, max_points_per_voxel=20,
+                              max_range=300.0, capacity=131072),
+        preprocess=cfg_mod.PreprocessConfig(min_range=2.0, max_range=80.0,
+                                            voxel_size=1.0, raw_capacity=65536),
+        lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
+    )
+    world = datasets.SyntheticWorld(extent=80.0, n_walls=24, n_boxes=16, seed=7)
+    times, rots, trans = datasets.synthetic_trajectory(n_frames, dt=0.1, speed=2.0, seed=7)
+    rng = np.random.default_rng(7)
+    scans = [world.scan_at(rng, rots[i], trans[i], n_points=32000, max_range=75.0)
+             for i in range(n_frames)]
+    pipe = pl.LIOPipeline(cfg)
+    return pipe, times, scans
+
+
+def run(n_frames: int, warmup: int, particles: int = 64):
+    import jax
+
+    pipe, times, scans = build(n_frames, particles)
+    # warmup (compile + first-frame bootstrap)
+    for i in range(warmup):
+        out = pipe.feed_scan(float(times[i]), scans[i])
+    jax.block_until_ready(out.pose_t)
+    t0 = time.perf_counter()
+    for i in range(warmup, n_frames):
+        out = pipe.feed_scan(float(times[i]), scans[i])
+    jax.block_until_ready(out.pose_t)
+    dt = time.perf_counter() - t0
+    return (n_frames - warmup) / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-baseline", action="store_true",
+                    help="measure the single-CPU fps for CPU_BASELINE_FPS")
+    ap.add_argument("--frames", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.cpu_baseline:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        fps = run(n_frames=args.frames or 6, warmup=2)
+        print(json.dumps({"metric": "cpu_baseline_frames_per_sec", "value": round(fps, 4),
+                          "unit": "frames/s", "vs_baseline": 1.0}))
+        return
+
+    fps = run(n_frames=args.frames or 23, warmup=3)
+    print(json.dumps({
+        "metric": "lidar_frames_per_sec_per_chip_64_particles",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -124,14 +124,17 @@ def so3_log(R: jax.Array) -> jax.Array:
     """
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_a = jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0)
-    angle = jnp.arccos(cos_a)
     vee = unskew(R)  # = sin(angle) * axis
-    sin_a = jnp.sin(angle)
-    small = jnp.abs(sin_a) < 1e-6
+    s2 = jnp.sum(vee * vee, axis=-1)  # = sin(angle)^2
+    small = s2 < 1e-12
     near_pi = small & (cos_a < 0.0)
-    sin_safe = jnp.where(small, 1.0, sin_a)
-    # angle/sin(angle) with Taylor 1 + a^2/6 near identity
-    factor = jnp.where(small, 1.0 + angle * angle / 6.0, angle / sin_safe)
+    # gradient-safe: angle from atan2(sin, cos); no arccos (its derivative
+    # blows up at the identity and poisons jacfwd through the Taylor branch)
+    sin_a = jnp.sqrt(jnp.where(small, 1.0, s2))
+    angle = jnp.arctan2(sin_a, cos_a)
+    # angle/sin(angle); near identity use the c-based Taylor
+    # theta^2 ~ 2(1-c) => theta/sin(theta) ~ 1 + (1-c)/3
+    factor = jnp.where(small, 1.0 + (1.0 - cos_a) / 3.0, angle / sin_a)
     w = factor[..., None] * vee
     return jnp.where(near_pi[..., None], jnp.zeros_like(w), w)
 

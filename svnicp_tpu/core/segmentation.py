@@ -1,0 +1,238 @@
+"""Range-image segmentation: projection, ground removal, connected components.
+
+TPU-native replacement for the reference's LeGO-LOAM-derived `ImageProjection`
+(ref: svn-icp/include/segmentation/ImageProjection.h): the host BFS flood
+fill (`labelComponents`, :435-531) is hostile to XLA, so components are
+labeled by **iterative min-label propagation with pointer jumping** on the
+fixed [N_SCAN, HORIZON] grid — converges in O(log diameter) sweeps, entirely
+on device, and produces the same partition (labels are root cell indices
+rather than 1..k, which downstream never relies on).
+
+Semantics preserved:
+- projection row from vertical angle, column from azimuth (:281-326),
+  nearest-range point wins a cell (the reference's last-write-wins is point-
+  order dependent; nearest is deterministic — documented divergence);
+- ground: inter-ring angle <= 10 deg over the lowest `ground_rows` rings
+  (:329-377);
+- segment connectivity via the LeGO-LOAM angle criterion
+  atan2(d2 sin a, d1 - d2 cos a) > 60 deg with column wraparound (:480-505);
+- validity: >=30 cells, or >=5 cells spanning >=3 rings (:510-521);
+- output cloud = valid segments + every 5th ground column (plus the first/
+  last 5 columns), matching `segmentedCloud_` — which is what the reference's
+  `GetSegmentedCloudPure()` actually returns (:533-535).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from svnicp_tpu.core.pointcloud import PaddedCloud
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorModel:
+    """Scan-pattern geometry (ref: ImageProjection.h:46-111 presets)."""
+
+    n_scan: int = 64
+    horizon: int = 2250
+    ang_res_y: float = 26.8 / 63.0
+    ang_bottom: float = 24.8
+    ground_rows: int = 7          # groundScanInd
+    min_range: float = 1.0
+    mount_angle: float = 0.0
+
+    @property
+    def ang_res_x(self) -> float:
+        return 360.0 / self.horizon
+
+
+HDL64 = SensorModel()
+VLP16 = SensorModel(n_scan=16, horizon=1800, ang_res_y=2.0, ang_bottom=15.1, ground_rows=7)
+HDL32 = SensorModel(n_scan=32, horizon=1800, ang_res_y=41.33 / 31.0, ang_bottom=30.67,
+                    ground_rows=20)
+
+SEGMENT_THETA = 60.0 / 180.0 * jnp.pi
+MIN_SEGMENT_CELLS = 30
+MIN_SEGMENT_POINTS = 5
+MIN_SEGMENT_LINES = 3
+INVALID = jnp.float32(-1.0)
+
+
+class RangeImage(NamedTuple):
+    rng: jax.Array       # [R,C] range (INVALID where empty)
+    pts: jax.Array       # [R,C,3] the winning point per cell
+    valid: jax.Array     # [R,C]
+
+
+@functools.partial(jax.jit, static_argnames=("sensor",))
+def project(points: jax.Array, valid: jax.Array, sensor: SensorModel) -> RangeImage:
+    """Scatter a scan into the range image (ref: projectPointCloud :281-326)."""
+    r, c = sensor.n_scan, sensor.horizon
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    rng_ = jnp.sqrt(x * x + y * y + z * z)
+    vert = jnp.degrees(jnp.arctan2(z, jnp.sqrt(x * x + y * y)))
+    row = jnp.floor((vert + sensor.ang_bottom) / sensor.ang_res_y).astype(jnp.int32)
+    horiz = jnp.degrees(jnp.arctan2(x, y))
+    col = (-jnp.round((horiz - 90.0) / sensor.ang_res_x)).astype(jnp.int32) + c // 2
+    col = jnp.where(col >= c, col - c, col)
+    ok = (
+        valid & (row >= 0) & (row < r) & (col >= 0) & (col < c)
+        & (rng_ >= sensor.min_range)
+    )
+    flat = jnp.where(ok, row * c + col, r * c)  # overflow slot for invalid
+
+    # nearest-range point wins: scatter-min range, then scatter-min point idx
+    # among the winners (deterministic for duplicate cells)
+    big = jnp.float32(1e30)
+    cell_rng = jnp.full((r * c + 1,), big, jnp.float32).at[flat].min(
+        jnp.where(ok, rng_, big)
+    )
+    wins = ok & (rng_ <= cell_rng[flat])
+    n = points.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    cell_idx = jnp.full((r * c + 1,), n, jnp.int32).at[
+        jnp.where(wins, flat, r * c)
+    ].min(jnp.where(wins, idx, n))
+    cell_idx = cell_idx[: r * c]
+    cell_ok = cell_idx < n
+    pts_pad = jnp.concatenate([points, jnp.zeros((1, 3), points.dtype)], axis=0)
+    img_pts = pts_pad[jnp.where(cell_ok, cell_idx, n)].reshape(r, c, 3)
+    img_rng = jnp.where(cell_ok, cell_rng[: r * c], INVALID).reshape(r, c)
+    return RangeImage(img_rng, img_pts, cell_ok.reshape(r, c))
+
+
+def ground_mask(img: RangeImage, sensor: SensorModel) -> jax.Array:
+    """[R,C] bool ground map (ref: groundRemoval :329-377): a cell and the one
+    above it are ground when their inter-ring elevation angle is <= 10 deg."""
+    r, c = img.rng.shape
+    g = jnp.zeros((r, c), bool)
+    lower = img.pts[: sensor.ground_rows]
+    upper = img.pts[1 : sensor.ground_rows + 1]
+    dv = upper - lower
+    ang = jnp.degrees(
+        jnp.arctan2(dv[..., 2], jnp.sqrt(dv[..., 0] ** 2 + dv[..., 1] ** 2))
+    )
+    both = img.valid[: sensor.ground_rows] & img.valid[1 : sensor.ground_rows + 1]
+    is_g = both & (jnp.abs(ang - sensor.mount_angle) <= 10.0)
+    g = g.at[: sensor.ground_rows].set(is_g)
+    g = g.at[1 : sensor.ground_rows + 1].set(g[1 : sensor.ground_rows + 1] | is_g)
+    return g
+
+
+def _edge_angle(d_from: jax.Array, d_to: jax.Array, alpha: float) -> jax.Array:
+    d1 = jnp.maximum(d_from, d_to)
+    d2 = jnp.minimum(d_from, d_to)
+    return jnp.arctan2(d2 * jnp.sin(alpha), d1 - d2 * jnp.cos(alpha))
+
+
+def label_components(img: RangeImage, segmentable: jax.Array,
+                     sensor: SensorModel) -> jax.Array:
+    """Connected components under the LeGO-LOAM angle criterion.
+
+    Returns [R,C] int32 labels: the flat index of each component's root cell,
+    or -1 for non-segmentable cells. Iterative min-propagation + pointer
+    jumping replaces the reference's per-seed BFS (:435-531).
+    """
+    r, c = img.rng.shape
+    alpha_x = jnp.radians(sensor.ang_res_x)
+    alpha_y = jnp.radians(sensor.ang_res_y)
+
+    rngm = img.rng
+    right = jnp.roll(rngm, -1, axis=1)
+    left = jnp.roll(rngm, 1, axis=1)
+    down = jnp.pad(rngm[1:], ((0, 1), (0, 0)), constant_values=INVALID)
+    up = jnp.pad(rngm[:-1], ((1, 0), (0, 0)), constant_values=INVALID)
+
+    seg_r = jnp.roll(segmentable, -1, axis=1)
+    seg_l = jnp.roll(segmentable, 1, axis=1)
+    seg_d = jnp.pad(segmentable[1:], ((0, 1), (0, 0)), constant_values=False)
+    seg_u = jnp.pad(segmentable[:-1], ((1, 0), (0, 0)), constant_values=False)
+
+    e_right = segmentable & seg_r & (_edge_angle(rngm, right, alpha_x) > SEGMENT_THETA)
+    e_left = segmentable & seg_l & (_edge_angle(rngm, left, alpha_x) > SEGMENT_THETA)
+    e_down = segmentable & seg_d & (_edge_angle(rngm, down, alpha_y) > SEGMENT_THETA)
+    e_up = segmentable & seg_u & (_edge_angle(rngm, up, alpha_y) > SEGMENT_THETA)
+
+    n = r * c
+    flat_idx = jnp.arange(n, dtype=jnp.int32).reshape(r, c)
+    init = jnp.where(segmentable, flat_idx, n)  # sentinel n for non-segmentable
+
+    def neighbor_min(lbl):
+        lbl2 = lbl.reshape(r, c)
+        cand = lbl2
+        cand = jnp.minimum(cand, jnp.where(e_right, jnp.roll(lbl2, -1, axis=1), n))
+        cand = jnp.minimum(cand, jnp.where(e_left, jnp.roll(lbl2, 1, axis=1), n))
+        cand = jnp.minimum(
+            cand, jnp.where(e_down, jnp.pad(lbl2[1:], ((0, 1), (0, 0)), constant_values=n), n)
+        )
+        cand = jnp.minimum(
+            cand, jnp.where(e_up, jnp.pad(lbl2[:-1], ((1, 0), (0, 0)), constant_values=n), n)
+        )
+        return cand.reshape(-1)
+
+    def body(state):
+        lbl, _ = state
+        new = neighbor_min(lbl)
+        # pointer jumping: label <- label[label] twice (path halving)
+        padded = jnp.concatenate([new, jnp.array([n], jnp.int32)])
+        new = padded[new]
+        padded = jnp.concatenate([new, jnp.array([n], jnp.int32)])
+        new = padded[new]
+        return new, jnp.any(new != lbl)
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = jax.lax.while_loop(cond, body, (init.reshape(-1), jnp.asarray(True)))
+    return jnp.where(labels == n, -1, labels).reshape(r, c)
+
+
+@functools.partial(jax.jit, static_argnames=("sensor", "capacity"))
+def segment_cloud(points: jax.Array, valid: jax.Array, sensor: SensorModel,
+                  capacity: int) -> PaddedCloud:
+    """Full segmentation pipeline -> odometry cloud (ref: cloudHandler flow,
+    ImageProjection.h:251-267 + cloudSegmentation :379-433)."""
+    r, c = sensor.n_scan, sensor.horizon
+    img = project(points, valid, sensor)
+    ground = ground_mask(img, sensor)
+    segmentable = img.valid & ~ground
+    labels = label_components(img, segmentable, sensor)
+
+    n = r * c
+    flat_labels = labels.reshape(-1)
+    lbl_ok = flat_labels >= 0
+    safe_lbl = jnp.where(lbl_ok, flat_labels, n)
+
+    # per-component cell count
+    counts = jnp.zeros((n + 1,), jnp.int32).at[safe_lbl].add(lbl_ok.astype(jnp.int32))
+    # per-component distinct-ring count via (label, ring) presence bitmap
+    rows = jnp.arange(r, dtype=jnp.int32)[:, None].repeat(c, axis=1).reshape(-1)
+    presence = jnp.zeros((n + 1, 1), jnp.int8)  # placeholder to keep memory flat
+    del presence
+    ring_bits = jnp.zeros(((n + 1), sensor.n_scan), jnp.int8).at[
+        safe_lbl, rows
+    ].max(jnp.where(lbl_ok, 1, 0).astype(jnp.int8))
+    ring_counts = jnp.sum(ring_bits.astype(jnp.int32), axis=1)
+
+    seg_valid_component = (counts >= MIN_SEGMENT_CELLS) | (
+        (counts >= MIN_SEGMENT_POINTS) & (ring_counts >= MIN_SEGMENT_LINES)
+    )
+    cell_in_segment = lbl_ok & seg_valid_component[safe_lbl]
+
+    # ground subsampling (ref :402-405): keep every 5th column + edges
+    cols = jnp.arange(c, dtype=jnp.int32)[None, :].repeat(r, axis=0).reshape(-1)
+    g_flat = ground.reshape(-1)
+    keep_ground = g_flat & ((cols % 5 == 0) | (cols <= 5) | (cols >= c - 5))
+
+    keep = (cell_in_segment | keep_ground) & img.valid.reshape(-1)
+    pts_flat = img.pts.reshape(-1, 3)
+
+    order = jnp.argsort(~keep, stable=True)[:capacity]
+    out_keep = keep[order]
+    out_pts = jnp.where(out_keep[:, None], pts_flat[order], 0.0)
+    return PaddedCloud(out_pts, out_keep)

@@ -77,52 +77,79 @@ def init_particles_gaussian(key: jax.Array, count: int, std, dtype=jnp.float32) 
     return jnp.clip(z, -3.0 * std, 3.0 * std)
 
 
-def rbf_kernel(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """RBF kernel over particle coordinates [P,6] with median bandwidth.
+def median_bandwidth(x_full: jax.Array) -> jax.Array:
+    """h = median(pairwise sq dists) / log(P+1)  (ref: SVNICP.cpp:254-266).
 
-    h = median(pairwise sq dists) / log(P+1)  (ref: SVNICP.cpp:254-266).
     Uses the torch-style *lower* median over all P^2 entries (incl. the zero
     diagonal) for bit-parity with the reference, guarded against collapse.
+    Takes the FULL particle set so every shard computes the same value.
     """
-    p = x.shape[0]
-    diff = x[:, None, :] - x[None, :, :]            # diff[i,j] = x_i - x_j
-    sq = jnp.sum(diff * diff, axis=-1)              # [P,P]
+    p = x_full.shape[0]
+    diff = x_full[:, None, :] - x_full[None, :, :]
+    sq = jnp.sum(diff * diff, axis=-1)
     flat = jnp.sort(sq.reshape(-1))
     lower_median = flat[(p * p - 1) // 2]
-    h = lower_median / jnp.log(jnp.asarray(float(p + 1), x.dtype))
-    h = jnp.maximum(h, jnp.asarray(1e-12, x.dtype))
-    kernel = jnp.exp(-sq / h)
-    return kernel, h, diff
+    h = lower_median / jnp.log(jnp.asarray(float(p + 1), x_full.dtype))
+    return jnp.maximum(h, jnp.asarray(1e-12, x_full.dtype))
+
+
+def rbf_kernel_block(
+    x_rows: jax.Array,        # [Pl,6] local particle coordinates
+    x_full: jax.Array,        # [P,6] all particle coordinates
+    bw: jax.Array,            # scalar bandwidth (from median_bandwidth(x_full))
+) -> tuple[jax.Array, jax.Array]:
+    """RBF kernel rows K[i,j] = exp(-|x_i-x_j|^2/h) for local rows i.
+
+    Row-block form: the single-device case is x_rows == x_full; under
+    particle sharding each shard computes only its rows against the gathered
+    full set (the all-gather of [P,6] is the Stein coupling's entire
+    communication, SURVEY.md §2.3).
+    Returns (kernel [Pl,P], diff [Pl,P,6] with diff[i,j] = x_i - x_j).
+    """
+    diff = x_rows[:, None, :] - x_full[None, :, :]
+    sq = jnp.sum(diff * diff, axis=-1)
+    return jnp.exp(-sq / bw), diff
+
+
+def rbf_kernel(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Convenience full-matrix form (tests / single device)."""
+    bw = median_bandwidth(x)
+    kernel, diff = rbf_kernel_block(x, x, bw)
+    return kernel, bw, diff
 
 
 def svgd_precond_grad(
-    x: jax.Array,             # [P,6] particle coordinates
-    neg_newton: jax.Array,    # [P,6] -H^-1 b per particle
+    x_rows: jax.Array,        # [Pl,6] local particle coordinates
+    x_full: jax.Array,        # [P,6] all particles
+    neg_newton_full: jax.Array,  # [P,6] -H^-1 b for all particles
     h_mean: jax.Array,        # [6,6] ensemble-mean Hessian (preconditioner)
 ) -> jax.Array:
-    """Hessian-preconditioned SVGD transport (ref: SVNICP.cpp:218-227)."""
-    kernel, bw, diff = rbf_kernel(x)
+    """Hessian-preconditioned SVGD transport rows (ref: SVNICP.cpp:218-227)."""
+    bw = median_bandwidth(x_full)
+    kernel, diff = rbf_kernel_block(x_rows, x_full, bw)
     grad_k = (2.0 / bw) * jnp.einsum("ijd,ij->id", diff, kernel)
     repulsion = jnp.linalg.solve(h_mean, grad_k.T).T          # H^-1 grad
-    drive = jnp.matmul(kernel, neg_newton, precision=jax.lax.Precision.HIGHEST)
+    drive = jnp.matmul(kernel, neg_newton_full, precision=jax.lax.Precision.HIGHEST)
     return (drive + repulsion) / jnp.sum(kernel, axis=1, keepdims=True)
 
 
 def svn_full_update(
-    x: jax.Array,             # [P,6]
-    hess: jax.Array,          # [P,6,6] per-particle GN Hessians
-    neg_b: jax.Array,         # [P,6] negative GN gradient
+    x_rows: jax.Array,        # [Pl,6]
+    x_full: jax.Array,        # [P,6]
+    hess_full: jax.Array,     # [P,6,6] per-particle GN Hessians (all)
+    neg_b_full: jax.Array,    # [P,6] negative GN gradient (all)
     lr: float,
 ) -> jax.Array:
-    """Full second-order Stein-Newton update (ref: SVNICP.cpp:229-252)."""
-    p = x.shape[0]
-    kernel, bw, diff = rbf_kernel(x)
-    grad_k = (2.0 / bw) * diff * kernel[..., None]             # [P,P,6]
+    """Full second-order Stein-Newton update rows (ref: SVNICP.cpp:229-252)."""
+    p = x_full.shape[0]
+    bw = median_bandwidth(x_full)
+    kernel, diff = rbf_kernel_block(x_rows, x_full, bw)
+    grad_k = (2.0 / bw) * diff * kernel[..., None]             # [Pl,P,6]
     grad2 = jnp.einsum("ijk,ijl->ikl", grad_k, grad_k)         # Σ_j ∇k∇kᵀ
-    k2h = jnp.einsum("ij,jkl->ikl", kernel * kernel, hess)
-    h_bar = (k2h + grad2) / p                                  # [P,6,6]
+    k2h = jnp.einsum("ij,jkl->ikl", kernel * kernel, hess_full)
+    h_bar = (k2h + grad2) / p                                  # [Pl,6,6]
     drive = (
-        jnp.matmul(kernel, neg_b, precision=jax.lax.Precision.HIGHEST)
+        jnp.matmul(kernel, neg_b_full, precision=jax.lax.Precision.HIGHEST)
         + jnp.sum(grad_k, axis=1)
     ) / p
     return lr * jnp.linalg.solve(h_bar, drive[..., None])[..., 0]
@@ -170,10 +197,10 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
     coords = _particle_coords(state.r, state.t)
     if p > 1:
         if cfg.svn_full_grad:
-            stein_grad = svn_full_update(coords, hess, -b, cfg.lr)
+            stein_grad = svn_full_update(coords, coords, hess, -b, cfg.lr)
         else:
             h_mean = jnp.mean(hess, axis=0)
-            stein_grad = svgd_precond_grad(coords, -newton, h_mean)
+            stein_grad = svgd_precond_grad(coords, coords, -newton, h_mean)
     else:
         stein_grad = -newton
 

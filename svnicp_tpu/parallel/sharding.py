@@ -1,0 +1,218 @@
+"""Multi-chip sharding of the SVN-ICP hot loop over a device mesh.
+
+The reference is single-process/single-GPU; its only parallel axis is the
+leading particle dimension of every tensor (SURVEY.md §2.3). This module is
+the distributed design the TPU build adds on top:
+
+- mesh axes ``("particle", "point")`` — the ensemble is sharded across chips
+  and the source-point batch is sharded within each particle group;
+- per-iteration J/H/b partial sums are reduced with ``psum`` over the point
+  axis (the Schur-style Newton reduction);
+- the Stein coupling exchanges only the tiny per-particle statistics —
+  ``all_gather`` of [P,6] coordinates, [P,6] Newton directions and (for the
+  full SVN kernel) [P,6,6] Hessians — over the particle axis; the P x P
+  kernel matrix itself is computed block-locally (rows for local particles);
+- the early-stop criterion is a ``pmean`` over the particle axis so every
+  shard exits the while_loop on the same iteration.
+
+Collectives ride ICI when the mesh maps onto one slice; everything is
+ordinary ``jax.shard_map`` + named-axis collectives, so the same code runs on
+the CPU-simulated 8-device mesh used in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from svnicp_tpu.config import SteinICPConfig
+from svnicp_tpu.core import geometry as geo
+from svnicp_tpu.core import residuals
+from svnicp_tpu.core import svn
+from svnicp_tpu.kernels import knn
+
+PARTICLE_AXIS = "particle"
+POINT_AXIS = "point"
+
+
+def make_mesh(particle_shards: int, point_shards: int, devices=None) -> Mesh:
+    """Build a ("particle", "point") mesh over the given (or all) devices."""
+    devices = jax.devices() if devices is None else devices
+    n = particle_shards * point_shards
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    import numpy as np
+
+    arr = np.asarray(devices[:n]).reshape(particle_shards, point_shards)
+    return Mesh(arr, (PARTICLE_AXIS, POINT_AXIS))
+
+
+def auto_axes(n_devices: int, particle_count: int) -> tuple[int, int]:
+    """Factor n_devices into (particle, point) shards: as many particle
+    shards as divide the ensemble, remainder into the point axis."""
+    particle = 1
+    while (
+        particle * 2 <= n_devices
+        and n_devices % (particle * 2) == 0
+        and particle_count % (particle * 2) == 0
+    ):
+        particle *= 2
+    return particle, n_devices // particle
+
+
+def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
+                       r0, t0, r, t):
+    """One SVN epoch on a (particle, point) shard.
+
+    source/cand_* are the local point shard [Bl,...]; r/t the local particle
+    shard [Pl,...]. Returns updated local particles + the global grad norm.
+    """
+    p_local = r.shape[0]
+    r_total = jnp.matmul(r0[None], r, precision=jax.lax.Precision.HIGHEST)
+    t_total = t0[None] + jnp.einsum("ij,pj->pi", r0, t)
+
+    transformed = (
+        jnp.einsum("pij,bj->pbi", r_total, source, precision=jax.lax.Precision.HIGHEST)
+        + t_total[:, None, :]
+    )
+    nn_idx, nn_d2 = knn.nn_among_candidates(transformed, cand_pts, cand_valid)
+    b_idx = jnp.arange(source.shape[0])[None, :]
+    matched = cand_pts[b_idx, nn_idx]
+    pair_valid = (nn_d2 < cfg.max_dist) & src_valid[None, :]
+
+    # local-point partial H/b, then Schur-style psum over the point axis
+    hess, b = residuals.ensemble_gauss_newton(
+        source, transformed, matched, pair_valid, r_total, cfg.max_dist
+    )
+    # the +jitter and gate-damping identity blocks are added per point shard;
+    # correct for the duplicated jitter after the reduction
+    n_point_shards = jax.lax.psum(1, POINT_AXIS)
+    hess = jax.lax.psum(hess, POINT_AXIS) - (n_point_shards - 1) * 1e-6 * jnp.eye(
+        6, dtype=hess.dtype
+    )
+    b = jax.lax.psum(b, POINT_AXIS)
+    newton = residuals.ensemble_solve(hess, b)
+
+    coords = jnp.concatenate([t, geo.bso3_log(r)], axis=-1)     # [Pl,6]
+    coords_full = jax.lax.all_gather(coords, PARTICLE_AXIS, tiled=True)
+    if cfg.svn_full_grad:
+        hess_full = jax.lax.all_gather(hess, PARTICLE_AXIS, tiled=True)
+        negb_full = jax.lax.all_gather(-b, PARTICLE_AXIS, tiled=True)
+        stein_grad = svn.svn_full_update(coords, coords_full, hess_full, negb_full, cfg.lr)
+    else:
+        h_mean = jax.lax.pmean(jnp.mean(hess, axis=0), PARTICLE_AXIS)
+        neg_newton_full = jax.lax.all_gather(-newton, PARTICLE_AXIS, tiled=True)
+        stein_grad = svn.svgd_precond_grad(coords, coords_full, neg_newton_full, h_mean)
+
+    dt_, omega = stein_grad[:, :3], stein_grad[:, 3:]
+    dr = geo.bso3_exp(omega)
+    jl = geo.bso3_left_jacobian(omega)
+    r_new = jnp.matmul(r, dr, precision=jax.lax.Precision.HIGHEST)
+    t_new = jnp.einsum("pij,pj->pi", r_new, jnp.einsum("pij,pj->pi", jl, dt_)) + t
+
+    grad_norm = jax.lax.pmean(
+        jnp.mean(jnp.linalg.norm(stein_grad, axis=1)), PARTICLE_AXIS
+    )
+    del p_local
+    return r_new, t_new, grad_norm
+
+
+def sharded_align(
+    mesh: Mesh,
+    cfg: SteinICPConfig,
+    source: jax.Array,         # [B,3] (sharded over the point axis)
+    src_valid: jax.Array,      # [B]
+    cand_pts: jax.Array,       # [B,K,3]
+    cand_valid: jax.Array,     # [B,K]
+    r0: jax.Array, t0: jax.Array,
+    init_particles: jax.Array, # [P,6] (sharded over the particle axis)
+) -> svn.AlignResult:
+    """Distributed `svn.align`: same math, mesh-parallel execution.
+
+    Outputs are fully replicated (every chip ends with the complete particle
+    set statistics), matching the single-device AlignResult contract.
+    """
+
+    def body(source_l, src_valid_l, cand_l, cand_valid_l, r0_l, t0_l, init_l):
+        r = geo.bso3_exp(init_l[:, 3:])
+        t = init_l[:, :3]
+
+        def cond(state):
+            r_, t_, it, gn, done = state
+            return (~done) & (it < cfg.iterations)
+
+        def step(state):
+            r_, t_, it, gn, done = state
+            r_n, t_n, grad_norm = _sharded_iteration(
+                cfg, source_l, src_valid_l, cand_l, cand_valid_l, r0_l, t0_l, r_, t_
+            )
+            done = jnp.asarray(cfg.early_stop) & (grad_norm < cfg.convergence_threshold)
+            return (r_n, t_n, it + 1, grad_norm, done)
+
+        init_state = (r, t, jnp.zeros((), jnp.int32),
+                      jnp.asarray(jnp.inf, source_l.dtype), jnp.zeros((), bool))
+        r_f, t_f, it, gn, _ = jax.lax.while_loop(cond, step, init_state)
+
+        coords = jnp.concatenate([t_f, geo.bso3_log(r_f)], axis=-1)
+        particles = jax.lax.all_gather(coords, PARTICLE_AXIS, tiled=True)  # [P,6]
+        p = particles.shape[0]
+        weights = jnp.full((p,), 1.0 / p, particles.dtype)
+        mean = jnp.mean(particles, axis=0)
+        centered = particles - mean[None, :]
+        var = jnp.mean(centered * centered, axis=0)
+        cov = jnp.einsum("pi,pj->ij", centered, centered) / p
+        return svn.AlignResult(particles, weights, mean, var, cov, it, gn)
+
+    spec_point = P(None)  # source rows replicated across particle axis, sharded on point
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(POINT_AXIS, None),          # source [B,3]
+            P(POINT_AXIS),                # src_valid [B]
+            P(POINT_AXIS, None, None),    # cand_pts [B,K,3]
+            P(POINT_AXIS, None),          # cand_valid [B,K]
+            P(None, None),                # r0
+            P(None),                      # t0
+            P(PARTICLE_AXIS, None),       # init particles [P,6]
+        ),
+        out_specs=svn.AlignResult(
+            particles=P(None, None), weights=P(None), mean=P(None),
+            var=P(None), cov=P(None, None), iterations=P(), grad_norm=P(),
+        ),
+        check_vma=False,
+    )
+    del spec_point
+    return fn(source, src_valid, cand_pts, cand_valid, r0, t0, init_particles)
+
+
+def sharded_register(
+    mesh: Mesh,
+    cfg: SteinICPConfig,
+    source, src_valid, target, tgt_valid, r0, t0, init_particles,
+) -> svn.AlignResult:
+    """Distributed `svn.register`: stage-1 KNN runs sharded over source rows
+    (each point shard searches the replicated target), then the mesh-parallel
+    align."""
+
+    def knn_body(source_l, src_valid_l, target_r, tgt_valid_r, r0_l, t0_l):
+        source_at_guess = geo.transform_points(r0_l, t0_l, source_l)
+        idx, d2 = knn.knn_candidates(
+            source_at_guess, target_r, src_valid_l, tgt_valid_r, cfg.knn_count
+        )
+        return idx, d2
+
+    idx, d2 = jax.shard_map(
+        knn_body,
+        mesh=mesh,
+        in_specs=(P(POINT_AXIS, None), P(POINT_AXIS), P(None, None), P(None),
+                  P(None, None), P(None)),
+        out_specs=(P(POINT_AXIS, None), P(POINT_AXIS, None)),
+        check_vma=False,
+    )(source, src_valid, target, tgt_valid, r0, t0)
+    cand_pts, cand_valid = knn.gather_candidates(target, idx, d2)
+    return sharded_align(mesh, cfg, source, src_valid, cand_pts, cand_valid,
+                         r0, t0, init_particles)

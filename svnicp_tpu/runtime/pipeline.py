@@ -195,11 +195,16 @@ def bootstrap_frame(cfg: PipelineConfig, state: OdometryState, frame: FrameInput
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def odometry_step(
-    cfg: PipelineConfig, state: OdometryState, frame: FrameInput
+    cfg: PipelineConfig, state: OdometryState, frame: FrameInput, mesh=None
 ) -> tuple[OdometryState, FrameOutput]:
-    """One LiDAR frame through the full pipeline (SURVEY.md §3.3)."""
+    """One LiDAR frame through the full pipeline (SURVEY.md §3.3).
+
+    With `mesh` (a jax.sharding.Mesh with "particle"/"point" axes) the
+    registration hot loop runs mesh-parallel via shard_map collectives;
+    map/ESKF state stays replicated (tiny next to the point data).
+    """
     dtype = jnp.dtype(cfg.dtype)
 
     # --- ESKF propagation over the IMU window (KF mode)
@@ -229,11 +234,19 @@ def odometry_step(
         cfg.icp.target_capacity,
     )
 
-    # --- SVN/SVGD alignment
-    result = svn.register(
-        cfg.icp, source.points, source.valid, target.points, target.valid,
-        guess_r, guess_t, init_particles,
-    )
+    # --- SVN/SVGD alignment (mesh-parallel when a device mesh is given)
+    if mesh is not None:
+        from svnicp_tpu.parallel import sharding
+
+        result = sharding.sharded_register(
+            mesh, cfg.icp, source.points, source.valid, target.points, target.valid,
+            guess_r, guess_t, init_particles,
+        )
+    else:
+        result = svn.register(
+            cfg.icp, source.points, source.valid, target.points, target.valid,
+            guess_r, guess_t, init_particles,
+        )
 
     # --- update
     raw_var = result.var

@@ -45,6 +45,13 @@ class TestSO3:
         # dR/dw at identity is the skew generator
         np.testing.assert_allclose(np.asarray(g[..., 0]), np.asarray(geo.skew(jnp.eye(3)[0])), atol=1e-6)
 
+    def test_log_gradient_finite_at_identity(self):
+        # regression: jacfwd through arccos at the identity poisoned the
+        # pose-graph optimizer with NaNs
+        g = jax.jacobian(lambda w: geo.so3_log(geo.so3_exp(w)))(jnp.zeros(3))
+        assert np.all(np.isfinite(np.asarray(g)))
+        np.testing.assert_allclose(np.asarray(g), np.eye(3), atol=1e-5)
+
     def test_left_jacobian_identity(self, rng):
         # J_l(w) satisfies: exp((w + J_l^-1 dw)^) ~ exp(w^) exp(...) — check
         # instead the closed-form identity J_l(w) @ w == w (axis is eigenvector).

@@ -1,0 +1,74 @@
+"""Multi-device tests on the CPU-simulated 8-device mesh (SURVEY.md §4.4):
+the sharded align must agree with the single-device reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svnicp_tpu.config import SteinICPConfig
+from svnicp_tpu.core import geometry as geo, svn
+from svnicp_tpu.parallel import sharding
+
+
+def make_problem(rng, n=768):
+    n3 = n // 3
+    floor = np.stack([rng.uniform(-10, 10, n3), rng.uniform(-10, 10, n3), np.zeros(n3)], 1)
+    wall1 = np.stack([rng.uniform(-10, 10, n3), np.full(n3, 8.0), rng.uniform(0, 4, n3)], 1)
+    wall2 = np.stack([np.full(n - 2 * n3, -6.0), rng.uniform(-10, 10, n - 2 * n3),
+                      rng.uniform(0, 4, n - 2 * n3)], 1)
+    cloud = np.concatenate([floor, wall1, wall2]).astype(np.float32)
+    cloud += rng.normal(scale=0.01, size=cloud.shape).astype(np.float32)
+    xi = jnp.asarray([0.25, -0.15, 0.08, 0.02, -0.02, 0.04], jnp.float32)
+    r, t = geo.se3_exp(xi)
+    target = geo.transform_points(r, t, jnp.asarray(cloud))
+    return jnp.asarray(cloud), target, (r, t)
+
+
+CFG = SteinICPConfig(particle_count=8, iterations=40, lr=1.0, max_dist=2.8,
+                     knn_count=16, early_stop=False)
+
+
+@pytest.mark.parametrize("axes", [(2, 4), (4, 2), (1, 8), (8, 1)])
+def test_sharded_matches_single_device(rng, axes, devices):
+    if len(devices) < 8:
+        pytest.skip("needs 8 devices")
+    source, target, _ = make_problem(rng)
+    n = source.shape[0]
+    init = svn.init_particles_uniform(jax.random.PRNGKey(0), CFG.particle_count,
+                                      CFG.init_lb, CFG.init_ub)
+    args = (source, jnp.ones(n, bool), target, jnp.ones(n, bool),
+            jnp.eye(3), jnp.zeros(3), init)
+    ref = svn.register(CFG, *args)
+    mesh = sharding.make_mesh(*axes)
+    out = sharding.sharded_register(mesh, CFG, *args)
+    np.testing.assert_allclose(np.asarray(out.mean), np.asarray(ref.mean), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.var), np.asarray(ref.var),
+                               rtol=0.05, atol=1e-6)
+    assert int(out.iterations) == int(ref.iterations)
+
+
+def test_sharded_svn_full_grad(rng, devices):
+    if len(devices) < 8:
+        pytest.skip("needs 8 devices")
+    source, target, _ = make_problem(rng)
+    cfg = SteinICPConfig(particle_count=8, iterations=30, lr=1.0, max_dist=2.8,
+                         knn_count=16, early_stop=False, svn_full_grad=True)
+    n = source.shape[0]
+    init = svn.init_particles_uniform(jax.random.PRNGKey(1), 8, cfg.init_lb, cfg.init_ub)
+    args = (source, jnp.ones(n, bool), target, jnp.ones(n, bool),
+            jnp.eye(3), jnp.zeros(3), init)
+    ref = svn.register(cfg, *args)
+    mesh = sharding.make_mesh(2, 4)
+    out = sharding.sharded_register(mesh, cfg, *args)
+    # the kernel-Hessian inverse amplifies fp reduction-order differences
+    # over 30 coupled iterations; ~1e-3 agreement is the expected envelope
+    np.testing.assert_allclose(np.asarray(out.mean), np.asarray(ref.mean), atol=3e-3)
+
+
+def test_auto_axes():
+    assert sharding.auto_axes(8, 64) == (8, 1)
+    assert sharding.auto_axes(8, 4) == (4, 2)
+    assert sharding.auto_axes(8, 1) == (1, 8)
+    assert sharding.auto_axes(4, 64) == (4, 1)
+    assert sharding.auto_axes(1, 64) == (1, 1)

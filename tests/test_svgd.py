@@ -1,0 +1,67 @@
+"""SVGD-ICP variant tests: optimizer factory, transform recovery per
+optimizer, minibatch mode, Euler-coordinate outputs."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svnicp_tpu.config import SteinICPConfig
+from svnicp_tpu.core import geometry as geo, svgd
+from test_svn import make_structured_cloud
+
+CFG = SteinICPConfig(method="svgd", particle_count=16, iterations=120, lr=0.03,
+                     max_dist=1.0, knn_count=32, early_stop=True,
+                     convergence_threshold=1e-5, optimizer="adam")
+
+
+def recover(cfg, cloud, true_xi, seed=0):
+    r_true, t_true = geo.se3_exp(jnp.asarray(true_xi, jnp.float32))
+    target = geo.transform_points(r_true, t_true, jnp.asarray(cloud))
+    key = jax.random.PRNGKey(seed)
+    from svnicp_tpu.core import svn
+
+    init = svn.init_particles_uniform(key, cfg.particle_count, cfg.init_lb, cfg.init_ub)
+    res = svgd.register(cfg, jnp.asarray(cloud), jnp.ones(len(cloud), bool),
+                        target, jnp.ones(len(target), bool),
+                        jnp.eye(3), jnp.zeros(3), init, rng=key)
+    # mean is in Euler coords [x,y,z,r,p,y]; compose with identity guess
+    rc = geo.euler_zyx_to_matrix(res.mean[3], res.mean[4], res.mean[5])
+    tc = res.mean[:3]
+    return res, np.asarray(rc), np.asarray(tc), np.asarray(r_true), np.asarray(t_true)
+
+
+def test_optimizer_factory():
+    for name in ["adam", "rmsprop", "sgd", "adagrad"]:
+        opt = svgd.make_optimizer(name, 0.01)
+        state = opt.init(jnp.zeros((4, 6)))
+        updates, _ = opt.update(jnp.ones((4, 6)), state, jnp.zeros((4, 6)))
+        assert np.isfinite(np.asarray(updates)).all()
+    with pytest.raises(ValueError):
+        svgd.make_optimizer("lbfgs", 0.01)
+
+
+def test_adam_recovers_small_transform(rng):
+    cloud = make_structured_cloud(rng, n=600)
+    true_xi = np.array([0.08, -0.05, 0.03, 0.01, -0.01, 0.02])
+    res, rc, tc, r_true, t_true = recover(CFG, cloud, true_xi)
+    assert np.linalg.norm(tc - t_true) < 0.04
+    assert np.linalg.norm(rc - r_true) < 0.02
+
+
+def test_minibatch_mode_runs_and_recovers(rng):
+    cloud = make_structured_cloud(rng, n=600)
+    cfg = dataclasses.replace(CFG, use_minibatch=True, batch_size=128, iterations=150)
+    true_xi = np.array([0.06, -0.04, 0.02, 0.0, 0.01, -0.01])
+    res, rc, tc, r_true, t_true = recover(cfg, cloud, true_xi)
+    assert np.linalg.norm(tc - t_true) < 0.06
+
+
+def test_single_particle_plain_descent(rng):
+    cloud = make_structured_cloud(rng, n=400)
+    cfg = dataclasses.replace(CFG, particle_count=1, iterations=200)
+    true_xi = np.array([0.05, -0.03, 0.02, 0.005, 0.0, 0.01])
+    res, rc, tc, r_true, t_true = recover(cfg, cloud, true_xi)
+    assert np.linalg.norm(tc - t_true) < 0.05
