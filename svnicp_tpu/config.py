@@ -44,6 +44,7 @@ class SteinICPConfig:
     lr: float = 1.0
     max_dist: float = 2.8            # correspondence gate + M-estimator scale [m]
     knn_count: int = 100             # K candidates per source point (stage-1 KNN)
+    candidate_method: str = "bucketed"  # "bucketed" (TPU-fast group-min) | "topk" (exact)
     early_stop: bool = True
     convergence_threshold: float = 5e-4
     svn_full_grad: bool = False      # full second-order kernel Hessian coupling
@@ -63,6 +64,8 @@ class SteinICPConfig:
             raise ValueError(f"method must be 'svn' or 'svgd', got {self.method!r}")
         if self.optimizer.lower() not in ("adam", "rmsprop", "sgd", "adagrad"):
             raise ValueError(f"unknown optimizer {self.optimizer!r}")
+        if self.candidate_method not in ("bucketed", "topk"):
+            raise ValueError(f"unknown candidate_method {self.candidate_method!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -176,9 +176,8 @@ def register(cfg: SteinICPConfig, source, src_valid, target, tgt_valid,
              r0, t0, init_particles, rng=None) -> svn_mod.AlignResult:
     """Candidate pre-pairing + SVGD alignment (ref: SVGDICP.cpp:46-62,176-215)."""
     source_at_guess = geo.transform_points(r0, t0, source)
-    cand_idx, cand_d2 = knn.knn_candidates(
-        source_at_guess, target, src_valid, tgt_valid, cfg.knn_count
-    )
+    cand_idx, cand_d2 = knn.find_candidates(cfg, source_at_guess, target,
+                                            src_valid, tgt_valid)
     cand_pts, cand_valid = knn.gather_candidates(target, cand_idx, cand_d2)
     return align(cfg, source, src_valid, cand_pts, cand_valid, r0, t0,
                  init_particles, rng)

@@ -173,9 +173,31 @@ def _particle_coords(r, t):
     return jnp.concatenate([t, geo.bso3_log(r)], axis=-1)
 
 
-def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid, r0, t0, state):
+def correspondence_features(source: jax.Array, cand_pts: jax.Array,
+                            cand_valid: jax.Array):
+    """Loop-invariant features for MXU-formulated per-iteration 1-NN.
+
+    The distance ranking score for particle pose (R,t) is
+        score[p,b,k] = |c_bk|^2 - 2 <R s_b + t, c_bk>
+                     = bias[b,k]  - 2 <[vec(R), t], feat[b,k]>
+    with feat[b,k] = [vec(c_bk ⊗ s_b) (9), c_bk (3)] — i.e. the whole
+    [P,B,K] distance tensor is ONE [P,12] x [12, B*K] matmul per iteration
+    instead of B tiny batched [P,3]x[3,K] products. feat/bias depend only on
+    the fixed candidate pre-pairing, so they are computed once per frame.
+    """
+    bsz, k = cand_pts.shape[:2]
+    outer = jnp.einsum("bki,bj->bkij", cand_pts, source).reshape(bsz, k, 9)
+    feat = jnp.concatenate([outer, cand_pts], axis=-1)         # [B,K,12]
+    bias = jnp.sum(cand_pts * cand_pts, axis=-1)               # [B,K]
+    bias = jnp.where(cand_valid, bias, jnp.inf)
+    return feat.reshape(bsz * k, 12), bias
+
+
+def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
+                   feat, bias, r0, t0, state):
     """One SVN epoch: correspondences -> J/H/b -> Stein coupling -> update."""
     p = state.r.shape[0]
+    bsz, k = cand_pts.shape[:2]
     r_total = jnp.matmul(r0[None], state.r, precision=jax.lax.Precision.HIGHEST)
     t_total = t0[None] + jnp.einsum("ij,pj->pi", r0, state.t)
 
@@ -183,11 +205,21 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
         jnp.einsum("pij,bj->pbi", r_total, source, precision=jax.lax.Precision.HIGHEST)
         + t_total[:, None, :]
     )
-    nn_idx, nn_d2 = knn.nn_among_candidates(transformed, cand_pts, cand_valid)
-    b_idx = jnp.arange(source.shape[0])[None, :]
+
+    # 1-NN among candidates via the single-matmul score (see above)
+    params = jnp.concatenate([r_total.reshape(p, 9), t_total], axis=-1)  # [P,12]
+    cross = jnp.matmul(params, feat.T, precision=jax.lax.Precision.HIGHEST)
+    score = bias.reshape(1, bsz * k) - 2.0 * cross
+    score = score.reshape(p, bsz, k)
+    nn_idx = jnp.argmin(score, axis=-1).astype(jnp.int32)      # [P,B]
+    best_score = jnp.take_along_axis(score, nn_idx[..., None], axis=-1)[..., 0]
+    nn_d2 = jnp.maximum(
+        best_score + jnp.sum(transformed * transformed, axis=-1), 0.0
+    )
+    b_idx = jnp.arange(bsz)[None, :]
     matched = cand_pts[b_idx, nn_idx]                          # [P,B,3]
     # reference quirk: gate compares squared distance against max_dist
-    pair_valid = (nn_d2 < cfg.max_dist) & src_valid[None, :]
+    pair_valid = (nn_d2 < cfg.max_dist) & src_valid[None, :] & jnp.isfinite(best_score)
 
     hess, b = residuals.ensemble_gauss_newton(
         source, transformed, matched, pair_valid, r_total, cfg.max_dist
@@ -229,8 +261,9 @@ def align(
     r_init = geo.bso3_exp(init_particles[:, 3:])
     t_init = init_particles[:, :3]
 
+    feat, bias = correspondence_features(source, cand_pts, cand_valid)
     iteration = functools.partial(
-        _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, r0, t0
+        _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias, r0, t0
     )
 
     def cond(state: _LoopState):
@@ -274,8 +307,9 @@ def align_with_history(
     t_init = init_particles[:, :3]
     p = init_particles.shape[0]
 
+    feat, bias = correspondence_features(source, cand_pts, cand_valid)
     iteration = functools.partial(
-        _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, r0, t0
+        _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias, r0, t0
     )
 
     def body(state: _LoopState, _):
@@ -326,8 +360,7 @@ def register(
     found once at the initial guess and reused across all iterations.
     """
     source_at_guess = geo.transform_points(r0, t0, source)
-    cand_idx, cand_d2 = knn.knn_candidates(
-        source_at_guess, target, src_valid, tgt_valid, cfg.knn_count
-    )
+    cand_idx, cand_d2 = knn.find_candidates(cfg, source_at_guess, target,
+                                            src_valid, tgt_valid)
     cand_pts, cand_valid = knn.gather_candidates(target, cand_idx, cand_d2)
     return align(cfg, source, src_valid, cand_pts, cand_valid, r0, t0, init_particles)

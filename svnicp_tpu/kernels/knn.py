@@ -87,6 +87,56 @@ def knn_candidates(
     return best_i, best_d
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_candidates_bucketed(
+    source: jax.Array,        # [Ns,3]
+    target: jax.Array,        # [Nt,3]
+    source_valid: jax.Array,  # [Ns]
+    target_valid: jax.Array,  # [Nt]
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Approximate K-nearest candidates via per-group minima — the TPU-fast
+    stage-1 search (drop-in for `knn_candidates`).
+
+    The target is split into k groups; each source point takes the nearest
+    target of every group. With hash-ordered targets (our map compaction
+    order) the groups are spatially random, so the result approximates the
+    true top-k while the *global* 1-NN is exactly included (it is its own
+    group's minimum). Cost: one [Ns,3]x[3,Nt] matmul + row-group min — no
+    sort, no top_k, no [Ns,Nt] materialization pressure beyond one pass.
+
+    The candidate set's only job is to cover the per-iteration 1-NN of points
+    under the ICP perturbations (ref two-stage scheme, SVGDICP.cpp:176-215);
+    group-min candidates are nearest-biased exactly like true top-k.
+
+    Returns (indices [Ns,k], sq_dists [Ns,k]) with +inf for invalid slots.
+    """
+    ns, nt = source.shape[0], target.shape[0]
+    pad = (-nt) % k
+    if pad:
+        target = jnp.concatenate([target, jnp.zeros((pad, 3), target.dtype)], axis=0)
+        target_valid = jnp.concatenate([target_valid, jnp.zeros((pad,), bool)], axis=0)
+    nt_p = target.shape[0]
+    group = nt_p // k
+
+    # ranking score: |t|^2 - 2 s.t  (|s|^2 is constant per row)
+    t2 = jnp.sum(target * target, axis=-1)
+    cross = jnp.matmul(source, target.T, precision=jax.lax.Precision.HIGHEST)
+    score = t2[None, :] - 2.0 * cross
+    score = jnp.where(target_valid[None, :], score, _INF)
+    score = score.reshape(ns, k, group)
+    within = jnp.argmin(score, axis=-1).astype(jnp.int32)           # [Ns,k]
+    base = (jnp.arange(k, dtype=jnp.int32) * group)[None, :]
+    idx = base + within
+    # exact squared distances for the selected candidates
+    s2 = jnp.sum(source * source, axis=-1, keepdims=True)
+    best_score = jnp.take_along_axis(score, within[..., None], axis=-1)[..., 0]
+    d2 = jnp.maximum(best_score + s2, 0.0)
+    d2 = jnp.where(jnp.isfinite(best_score), d2, _INF)
+    d2 = jnp.where(source_valid[:, None], d2, _INF)
+    return idx, d2
+
+
 def nn_among_candidates(
     transformed: jax.Array,   # [P,B,3] per-particle transformed source points
     cand_pts: jax.Array,      # [B,K,3] candidate target points per source point
@@ -110,6 +160,15 @@ def nn_among_candidates(
     idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
     best = jnp.take_along_axis(d2, idx[..., None], axis=-1)[..., 0]
     return idx, best
+
+
+def find_candidates(cfg, source_at_guess, target, source_valid, target_valid):
+    """Stage-1 candidate search honoring cfg.candidate_method."""
+    if cfg.candidate_method == "topk":
+        return knn_candidates(source_at_guess, target, source_valid, target_valid,
+                              cfg.knn_count)
+    return knn_candidates_bucketed(source_at_guess, target, source_valid,
+                                   target_valid, cfg.knn_count)
 
 
 def gather_candidates(

@@ -64,13 +64,14 @@ def auto_axes(n_devices: int, particle_count: int) -> tuple[int, int]:
 
 
 def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
-                       r0, t0, r, t):
+                       feat, bias, r0, t0, r, t):
     """One SVN epoch on a (particle, point) shard.
 
     source/cand_* are the local point shard [Bl,...]; r/t the local particle
     shard [Pl,...]. Returns updated local particles + the global grad norm.
     """
     p_local = r.shape[0]
+    bsz, k = cand_pts.shape[:2]
     r_total = jnp.matmul(r0[None], r, precision=jax.lax.Precision.HIGHEST)
     t_total = t0[None] + jnp.einsum("ij,pj->pi", r0, t)
 
@@ -78,10 +79,16 @@ def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_va
         jnp.einsum("pij,bj->pbi", r_total, source, precision=jax.lax.Precision.HIGHEST)
         + t_total[:, None, :]
     )
-    nn_idx, nn_d2 = knn.nn_among_candidates(transformed, cand_pts, cand_valid)
-    b_idx = jnp.arange(source.shape[0])[None, :]
+    # MXU-formulated 1-NN among candidates (see svn.correspondence_features)
+    params = jnp.concatenate([r_total.reshape(p_local, 9), t_total], axis=-1)
+    cross = jnp.matmul(params, feat.T, precision=jax.lax.Precision.HIGHEST)
+    score = (bias.reshape(1, bsz * k) - 2.0 * cross).reshape(p_local, bsz, k)
+    nn_idx = jnp.argmin(score, axis=-1).astype(jnp.int32)
+    best_score = jnp.take_along_axis(score, nn_idx[..., None], axis=-1)[..., 0]
+    nn_d2 = jnp.maximum(best_score + jnp.sum(transformed * transformed, axis=-1), 0.0)
+    b_idx = jnp.arange(bsz)[None, :]
     matched = cand_pts[b_idx, nn_idx]
-    pair_valid = (nn_d2 < cfg.max_dist) & src_valid[None, :]
+    pair_valid = (nn_d2 < cfg.max_dist) & src_valid[None, :] & jnp.isfinite(best_score)
 
     # local-point partial H/b, then Schur-style psum over the point axis
     hess, b = residuals.ensemble_gauss_newton(
@@ -139,6 +146,7 @@ def sharded_align(
     def body(source_l, src_valid_l, cand_l, cand_valid_l, r0_l, t0_l, init_l):
         r = geo.bso3_exp(init_l[:, 3:])
         t = init_l[:, :3]
+        feat, bias = svn.correspondence_features(source_l, cand_l, cand_valid_l)
 
         def cond(state):
             r_, t_, it, gn, done = state
@@ -147,7 +155,8 @@ def sharded_align(
         def step(state):
             r_, t_, it, gn, done = state
             r_n, t_n, grad_norm = _sharded_iteration(
-                cfg, source_l, src_valid_l, cand_l, cand_valid_l, r0_l, t0_l, r_, t_
+                cfg, source_l, src_valid_l, cand_l, cand_valid_l, feat, bias,
+                r0_l, t0_l, r_, t_
             )
             done = jnp.asarray(cfg.early_stop) & (grad_norm < cfg.convergence_threshold)
             return (r_n, t_n, it + 1, grad_norm, done)
@@ -200,9 +209,8 @@ def sharded_register(
 
     def knn_body(source_l, src_valid_l, target_r, tgt_valid_r, r0_l, t0_l):
         source_at_guess = geo.transform_points(r0_l, t0_l, source_l)
-        idx, d2 = knn.knn_candidates(
-            source_at_guess, target_r, src_valid_l, tgt_valid_r, cfg.knn_count
-        )
+        idx, d2 = knn.find_candidates(cfg, source_at_guess, target_r,
+                                      src_valid_l, tgt_valid_r)
         return idx, d2
 
     idx, d2 = jax.shard_map(

@@ -42,6 +42,39 @@ def test_knn_candidates_respects_masks(rng):
     assert not np.isfinite(np.asarray(d22)).any()
 
 
+def test_bucketed_includes_exact_nn(rng):
+    ns, nt, k = 64, 4096, 32
+    src = rng.normal(size=(ns, 3)).astype(np.float32) * 10
+    tgt = rng.normal(size=(nt, 3)).astype(np.float32) * 10
+    # hash-like shuffle so groups are spatially random (as in the pipeline)
+    tgt = tgt[rng.permutation(nt)]
+    idx, d2 = knn.knn_candidates_bucketed(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.ones(ns, bool), jnp.ones(nt, bool), k
+    )
+    full = ((src[:, None, :] - tgt[None, :, :]) ** 2).sum(-1)
+    nn_idx = full.argmin(1)
+    got = np.asarray(idx)
+    for i in range(ns):
+        # the exact global 1-NN is always among the candidates
+        assert nn_idx[i] in got[i], i
+    # distances are exact for selected candidates
+    sel_d = np.take_along_axis(full, got, axis=1)
+    np.testing.assert_allclose(np.asarray(d2), sel_d, rtol=1e-3, atol=1e-3)
+
+
+def test_bucketed_respects_masks(rng):
+    src = rng.normal(size=(10, 3)).astype(np.float32)
+    tgt = rng.normal(size=(64, 3)).astype(np.float32)
+    tv = np.zeros(64, bool)
+    tv[:5] = True
+    idx, d2 = knn.knn_candidates_bucketed(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.ones(10, bool), jnp.asarray(tv), 8
+    )
+    d2 = np.asarray(d2)
+    assert (np.asarray(idx)[np.isfinite(d2)] < 5).all()
+    assert np.isfinite(d2).sum() > 0
+
+
 def test_nn_among_candidates(rng):
     p, b, k = 4, 37, 9
     trans = rng.normal(size=(p, b, 3)).astype(np.float32)
