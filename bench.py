@@ -25,7 +25,7 @@ import numpy as np
 CPU_BASELINE_FPS = 0.0451
 
 
-def build(n_frames: int, particles: int):
+def build(n_frames: int, particles: int, use_pallas: bool = False):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
@@ -34,7 +34,7 @@ def build(n_frames: int, particles: int):
         icp=cfg_mod.SteinICPConfig(
             particle_count=particles, iterations=100, lr=1.0, max_dist=3.0,
             knn_count=100, early_stop=True, convergence_threshold=5e-4,
-            source_capacity=4096, target_capacity=65536,
+            source_capacity=4096, target_capacity=65536, use_pallas=use_pallas,
         ),
         map=cfg_mod.MapConfig(voxel_size=1.0, max_points_per_voxel=20,
                               max_range=300.0, capacity=131072),
@@ -51,10 +51,10 @@ def build(n_frames: int, particles: int):
     return pipe, times, scans
 
 
-def run(n_frames: int, warmup: int, particles: int = 64):
+def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = False):
     import jax
 
-    pipe, times, scans = build(n_frames, particles)
+    pipe, times, scans = build(n_frames, particles, use_pallas)
     # warmup (compile + first-frame bootstrap)
     for i in range(warmup):
         out = pipe.feed_scan(float(times[i]), scans[i])
@@ -72,6 +72,8 @@ def main():
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="measure the single-CPU fps for CPU_BASELINE_FPS")
     ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="disable the fused Pallas NN kernel (XLA fallback)")
     args = ap.parse_args()
 
     if args.cpu_baseline:
@@ -83,7 +85,7 @@ def main():
                           "unit": "frames/s", "vs_baseline": 1.0}))
         return
 
-    fps = run(n_frames=args.frames or 23, warmup=3)
+    fps = run(n_frames=args.frames or 23, warmup=3, use_pallas=not args.no_pallas)
     print(json.dumps({
         "metric": "lidar_frames_per_sec_per_chip_64_particles",
         "value": round(fps, 3),

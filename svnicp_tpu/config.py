@@ -45,6 +45,7 @@ class SteinICPConfig:
     max_dist: float = 2.8            # correspondence gate + M-estimator scale [m]
     knn_count: int = 100             # K candidates per source point (stage-1 KNN)
     candidate_method: str = "bucketed"  # "bucketed" (TPU-fast group-min) | "topk" (exact)
+    use_pallas: bool = False         # fused Pallas 1-NN kernel (TPU only)
     early_stop: bool = True
     convergence_threshold: float = 5e-4
     svn_full_grad: bool = False      # full second-order kernel Hessian coupling

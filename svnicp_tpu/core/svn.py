@@ -208,16 +208,25 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
 
     # 1-NN among candidates via the single-matmul score (see above)
     params = jnp.concatenate([r_total.reshape(p, 9), t_total], axis=-1)  # [P,12]
-    cross = jnp.matmul(params, feat.T, precision=jax.lax.Precision.HIGHEST)
-    score = bias.reshape(1, bsz * k) - 2.0 * cross
-    score = score.reshape(p, bsz, k)
-    nn_idx = jnp.argmin(score, axis=-1).astype(jnp.int32)      # [P,B]
-    best_score = jnp.take_along_axis(score, nn_idx[..., None], axis=-1)[..., 0]
+    if cfg.use_pallas and k % 128 == 0:
+        from svnicp_tpu.kernels import nn_pallas
+
+        ptile = max(d for d in (16, 8, 4, 2, 1) if p % d == 0)
+        btile = max(d for d in (256, 128, 64, 32, 16, 8) if bsz % d == 0)
+        matched, best_score = nn_pallas.fused_nn_match(
+            params, feat, bias, cand_pts, particle_tile=ptile, point_tile=btile
+        )
+    else:
+        cross = jnp.matmul(params, feat.T, precision=jax.lax.Precision.HIGHEST)
+        score = bias.reshape(1, bsz * k) - 2.0 * cross
+        score = score.reshape(p, bsz, k)
+        nn_idx = jnp.argmin(score, axis=-1).astype(jnp.int32)  # [P,B]
+        best_score = jnp.take_along_axis(score, nn_idx[..., None], axis=-1)[..., 0]
+        b_idx = jnp.arange(bsz)[None, :]
+        matched = cand_pts[b_idx, nn_idx]                      # [P,B,3]
     nn_d2 = jnp.maximum(
         best_score + jnp.sum(transformed * transformed, axis=-1), 0.0
     )
-    b_idx = jnp.arange(bsz)[None, :]
-    matched = cand_pts[b_idx, nn_idx]                          # [P,B,3]
     # reference quirk: gate compares squared distance against max_dist
     pair_valid = (nn_d2 < cfg.max_dist) & src_valid[None, :] & jnp.isfinite(best_score)
 
@@ -261,6 +270,10 @@ def align(
     r_init = geo.bso3_exp(init_particles[:, 3:])
     t_init = init_particles[:, :3]
 
+    if cfg.use_pallas:
+        from svnicp_tpu.kernels import nn_pallas
+
+        cand_pts, cand_valid = nn_pallas.pad_candidates(cand_pts, cand_valid)
     feat, bias = correspondence_features(source, cand_pts, cand_valid)
     iteration = functools.partial(
         _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias, r0, t0
@@ -307,6 +320,10 @@ def align_with_history(
     t_init = init_particles[:, :3]
     p = init_particles.shape[0]
 
+    if cfg.use_pallas:
+        from svnicp_tpu.kernels import nn_pallas
+
+        cand_pts, cand_valid = nn_pallas.pad_candidates(cand_pts, cand_valid)
     feat, bias = correspondence_features(source, cand_pts, cand_valid)
     iteration = functools.partial(
         _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias, r0, t0

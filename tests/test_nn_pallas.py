@@ -1,0 +1,75 @@
+"""Pallas fused 1-NN kernel vs the jnp oracle (interpret mode on CPU,
+mirroring the reference's CUDA-vs-CPU KNN oracle pairing, SURVEY.md §4.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svnicp_tpu.core import geometry as geo, svn
+from svnicp_tpu.kernels import nn_pallas
+
+
+def make_inputs(rng, p=8, b=64, k=128):
+    source = jnp.asarray(rng.normal(size=(b, 3)).astype(np.float32) * 5)
+    cand = jnp.asarray(rng.normal(size=(b, k, 3)).astype(np.float32) * 5)
+    valid = jnp.asarray(rng.random((b, k)) > 0.1)
+    feat, bias = svn.correspondence_features(source, cand, valid)
+    xi = jnp.asarray(rng.normal(size=(p, 6)).astype(np.float32) * 0.1)
+    r = geo.bso3_exp(xi[:, 3:])
+    t = xi[:, :3]
+    params = jnp.concatenate([r.reshape(p, 9), t], axis=-1)
+    return params, feat, bias, cand, valid
+
+
+def test_kernel_matches_oracle(rng):
+    params, feat, bias, cand, valid = make_inputs(rng)
+    m_ref, s_ref = nn_pallas.fused_nn_match_oracle(params, feat, bias, cand)
+    m_ker, s_ker = nn_pallas.fused_nn_match(
+        params, feat, bias, cand, particle_tile=4, point_tile=16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(s_ker), np.asarray(s_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_ker), np.asarray(m_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_with_all_invalid_rows(rng):
+    params, feat, bias, cand, valid = make_inputs(rng, b=32)
+    bias = bias.at[5].set(jnp.inf)  # every candidate of point 5 invalid
+    m_ker, s_ker = nn_pallas.fused_nn_match(
+        params, feat, bias, cand, particle_tile=4, point_tile=16, interpret=True
+    )
+    assert np.isinf(np.asarray(s_ker)[:, 5]).all()
+    assert np.isfinite(np.asarray(s_ker)[:, :5]).all()
+
+
+def test_pad_candidates():
+    cand = jnp.zeros((16, 100, 3))
+    valid = jnp.ones((16, 100), bool)
+    cp, cv = nn_pallas.pad_candidates(cand, valid)
+    assert cp.shape == (16, 128, 3)
+    assert not np.asarray(cv)[:, 100:].any()
+
+
+def test_align_with_pallas_matches_xla(rng):
+    """End-to-end: align with use_pallas (interpret) vs the XLA path."""
+    import dataclasses
+
+    from svnicp_tpu.config import SteinICPConfig
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 256
+    cloud = rng.normal(size=(n, 3)).astype(np.float32) * 5
+    cloud[:80, 2] = 0.0
+    cloud[80:160, 1] = 4.0
+    xi = jnp.asarray([0.1, -0.05, 0.02, 0.01, 0.0, 0.02])
+    r, t = geo.se3_exp(xi)
+    target = geo.transform_points(r, t, jnp.asarray(cloud))
+    cfg = SteinICPConfig(particle_count=4, iterations=20, knn_count=16,
+                         max_dist=2.8, early_stop=False)
+    init = svn.init_particles_uniform(jax.random.PRNGKey(0), 4, cfg.init_lb, cfg.init_ub)
+    args = (jnp.asarray(cloud), jnp.ones(n, bool), target, jnp.ones(n, bool),
+            jnp.eye(3), jnp.zeros(3), init)
+    ref = svn.register(cfg, *args)
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        out = svn.register(cfg_p, *args)
+    np.testing.assert_allclose(np.asarray(out.mean), np.asarray(ref.mean), atol=1e-4)
