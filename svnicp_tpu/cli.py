@@ -1,0 +1,162 @@
+"""Command-line entry points (the reference's launch/ layer, ROS-free).
+
+Replaces `ros2 launch svn-icp *.launch.py` + rosbag playback
+(ref: svn-icp/launch/SVN_ICP.launch.py:59-66) with:
+
+    python -m svnicp_tpu.cli demo   [--config CFG] [--frames N] [--output out.jsonl]
+    python -m svnicp_tpu.cli kitti  --velodyne DIR [--poses FILE] [--config CFG] ...
+
+Both stream structured JSONL records (io/records.py) instead of 13 ROS
+topics and print an evaluation summary (ATE/RPE) at the end — evaluation the
+reference left to offline tooling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import sys
+import time
+
+
+def _load_config(path: str | None):
+    from svnicp_tpu import config as cfg_mod
+
+    if path is None:
+        return cfg_mod.PipelineConfig()
+    return cfg_mod.from_yaml(path)
+
+
+def _open_writer(path: str | None):
+    from svnicp_tpu.io.records import JSONLWriter
+
+    if path is None:
+        return None, contextlib.nullcontext()
+    f = open(path, "w")
+    return JSONLWriter(f), contextlib.closing(f)
+
+
+def _run_stream(cfg, stream, imu_stream=None, writer=None, gt_poses=None,
+                progress=True):
+    import numpy as np
+
+    from svnicp_tpu.io import metrics, records
+    from svnicp_tpu.runtime import pipeline as pl
+
+    pipe = pl.LIOPipeline(cfg)
+    if writer is not None:
+        writer.write(records.ParametersRecord.from_config(cfg))
+    if imu_stream is not None:
+        for t, acc, gyro in imu_stream:
+            pipe.feed_imu(t, acc, gyro)
+
+    n_frames = 0
+    t_start = time.perf_counter()
+    for item in stream:
+        t, pts = item[0], item[1]
+        ts = item[2] if len(item) > 2 else None
+        t0 = time.perf_counter()
+        out = pipe.feed_scan(t, pts, ts)
+        if out is None:
+            continue
+        n_frames += 1
+        if writer is not None:
+            writer.write(records.RuntimeRecord(
+                stamp=t, preprocessing_time=0.0,
+                steinicp_time=time.perf_counter() - t0,
+                finish_iter=int(out.icp_iterations)))
+            writer.write_all(records.frame_records(t, out))
+        if progress and n_frames % 20 == 0:
+            p = np.asarray(out.pose_t)
+            print(f"[svnicp] frame {n_frames}  pose=({p[0]:.2f},{p[1]:.2f},{p[2]:.2f})"
+                  f"  map={int(out.map_points)}", file=sys.stderr)
+    wall = time.perf_counter() - t_start
+
+    est = pipe.trajectory()
+    summary = {"frames": n_frames, "wall_seconds": round(wall, 3),
+               "frames_per_sec": round(n_frames / max(wall, 1e-9), 3)}
+    if gt_poses is not None and len(est) == len(gt_poses):
+        summary["ate_rmse_m"] = round(metrics.ate_rmse(est, gt_poses), 4)
+        rpe_t, rpe_r = metrics.rpe(est, gt_poses)
+        summary["rpe_trans_m"] = round(rpe_t, 4)
+        summary["rpe_rot_rad"] = round(rpe_r, 5)
+    print(json.dumps(summary))
+    return pipe, summary
+
+
+def cmd_demo(args):
+    import numpy as np
+
+    from svnicp_tpu.core.imu import GRAVITY
+    from svnicp_tpu.io import datasets
+
+    cfg = _load_config(args.config)
+    world = datasets.SyntheticWorld(extent=60.0, seed=args.seed)
+    times, rots, trans = datasets.synthetic_trajectory(
+        args.frames, dt=0.1, speed=1.5, seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+
+    def stream():
+        for i in range(args.frames):
+            yield float(times[i]), world.scan_at(rng, rots[i], trans[i],
+                                                 n_points=args.points)
+
+    imu = (datasets.synthetic_imu(times, rots, trans, GRAVITY)
+           if cfg.lio.estimator == "kf" else None)
+    gt = np.tile(np.eye(4), (args.frames, 1, 1))
+    gt[:, :3, :3] = rots
+    gt[:, :3, 3] = trans
+    writer, ctx = _open_writer(args.output)
+    with ctx:
+        _run_stream(cfg, stream(), imu, writer, gt)
+
+
+def cmd_kitti(args):
+    import numpy as np
+
+    from svnicp_tpu.io import datasets
+
+    cfg = _load_config(args.config)
+    stream = datasets.kitti_sequence(args.velodyne, args.times)
+    if args.max_frames:
+        import itertools
+
+        stream = itertools.islice(stream, args.max_frames)
+    gt = None
+    if args.poses:
+        gt = datasets.read_kitti_poses(args.poses)
+        if args.max_frames:
+            gt = gt[: args.max_frames]
+    writer, ctx = _open_writer(args.output)
+    with ctx:
+        _run_stream(cfg, stream, None, writer, gt)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="svnicp_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demo", help="synthetic ground-truthed sequence")
+    d.add_argument("--config", default=None)
+    d.add_argument("--frames", type=int, default=40)
+    d.add_argument("--points", type=int, default=8000)
+    d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--output", default=None, help="JSONL record stream path")
+    d.set_defaults(fn=cmd_demo)
+
+    k = sub.add_parser("kitti", help="KITTI odometry sequence directory")
+    k.add_argument("--velodyne", required=True)
+    k.add_argument("--times", default=None)
+    k.add_argument("--poses", default=None)
+    k.add_argument("--config", default=None)
+    k.add_argument("--max-frames", type=int, default=0)
+    k.add_argument("--output", default=None)
+    k.set_defaults(fn=cmd_kitti)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ Reference behavioral quirks reproduced deliberately (SURVEY.md §7.5):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -34,6 +35,15 @@ from svnicp_tpu.config import SteinICPConfig
 from svnicp_tpu.core import geometry as geo
 from svnicp_tpu.core import residuals
 from svnicp_tpu.kernels import knn
+
+
+def _pallas_ok() -> bool:
+    """Pallas kernels compile only on TPU; interpret-mode tests opt in via
+    SVNICP_PALLAS_INTERPRET=1 (used with pltpu.force_tpu_interpret_mode)."""
+    return (
+        jax.default_backend() == "tpu"
+        or os.environ.get("SVNICP_PALLAS_INTERPRET") == "1"
+    )
 
 
 class AlignResult(NamedTuple):
@@ -208,11 +218,13 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
 
     # 1-NN among candidates via the single-matmul score (see above)
     params = jnp.concatenate([r_total.reshape(p, 9), t_total], axis=-1)  # [P,12]
-    if cfg.use_pallas and k % 128 == 0:
+    if cfg.use_pallas and k % 128 == 0 and _pallas_ok():
         from svnicp_tpu.kernels import nn_pallas
 
-        ptile = max(d for d in (16, 8, 4, 2, 1) if p % d == 0)
-        btile = max(d for d in (256, 128, 64, 32, 16, 8) if bsz % d == 0)
+        # Mosaic: tile dims must be multiples of 8 (sublane) / 128 (lane)
+        # or equal to the full array dimension
+        ptile = next((d for d in (32, 16, 8) if p % d == 0), p)
+        btile = next((d for d in (256, 128) if bsz % d == 0), bsz)
         matched, best_score = nn_pallas.fused_nn_match(
             params, feat, bias, cand_pts, particle_tile=ptile, point_tile=btile
         )
@@ -270,7 +282,7 @@ def align(
     r_init = geo.bso3_exp(init_particles[:, 3:])
     t_init = init_particles[:, :3]
 
-    if cfg.use_pallas:
+    if cfg.use_pallas and _pallas_ok():
         from svnicp_tpu.kernels import nn_pallas
 
         cand_pts, cand_valid = nn_pallas.pad_candidates(cand_pts, cand_valid)
@@ -320,7 +332,7 @@ def align_with_history(
     t_init = init_particles[:, :3]
     p = init_particles.shape[0]
 
-    if cfg.use_pallas:
+    if cfg.use_pallas and _pallas_ok():
         from svnicp_tpu.kernels import nn_pallas
 
         cand_pts, cand_valid = nn_pallas.pad_candidates(cand_pts, cand_valid)

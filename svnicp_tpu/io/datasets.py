@@ -129,9 +129,12 @@ def synthetic_imu(times, rots, trans, gravity: float):
 
 
 def read_kitti_bin(path: str) -> np.ndarray:
-    """One KITTI velodyne .bin scan -> [N,3] float32 (drops intensity)."""
-    raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
-    return np.ascontiguousarray(raw[:, :3])
+    """One KITTI velodyne .bin scan -> [N,3] float32 (drops intensity).
+
+    Uses the native C loader when built (svnicp_tpu/io/native.py)."""
+    from svnicp_tpu.io import native
+
+    return native.read_kitti_bin(path)
 
 
 def read_kitti_poses(path: str) -> np.ndarray:

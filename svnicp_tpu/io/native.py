@@ -1,0 +1,166 @@
+"""ctypes bindings for the native host runtime (native/svnicp_native.cpp).
+
+Build with `make -C native` (produces svnicp_tpu/io/libsvnicp_native.so).
+Every entry point has a numpy fallback so the package works without the
+library; `AVAILABLE` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libsvnicp_native.so")
+_lib = None
+if not os.path.exists(_LIB_PATH):
+    # auto-build once on first import (g++ is part of the toolchain)
+    _make_dir = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    if os.path.exists(os.path.join(_make_dir, "Makefile")):
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", _make_dir], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass
+if os.path.exists(_LIB_PATH):
+    _lib = ctypes.CDLL(_LIB_PATH)
+    _lib.svn_read_kitti_bin.restype = ctypes.c_int
+    _lib.svn_read_kitti_bin.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    _lib.svn_stage_scan.restype = ctypes.c_int
+    _lib.svn_stage_scan.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    _lib.svn_extract_timestamps.restype = ctypes.c_int
+    _lib.svn_extract_timestamps.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+    _lib.svn_ring_create.restype = ctypes.c_void_p
+    _lib.svn_ring_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    _lib.svn_ring_destroy.argtypes = [ctypes.c_void_p]
+    _lib.svn_ring_size.restype = ctypes.c_int
+    _lib.svn_ring_size.argtypes = [ctypes.c_void_p]
+    _lib.svn_ring_push.restype = ctypes.c_int
+    _lib.svn_ring_push.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_double]
+    _lib.svn_ring_pop.restype = ctypes.c_int
+    _lib.svn_ring_pop.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_double)]
+
+AVAILABLE = _lib is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def read_kitti_bin(path: str, capacity: int = 1 << 18) -> np.ndarray:
+    """[N,3] float32 from a KITTI velodyne .bin (native or numpy fallback)."""
+    if _lib is None:
+        raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+        return np.ascontiguousarray(raw[:capacity, :3])
+    out = np.empty((capacity, 3), np.float32)
+    n = _lib.svn_read_kitti_bin(path.encode(), _fptr(out), capacity)
+    if n < 0:
+        raise IOError(f"cannot read {path}")
+    return out[:n]
+
+
+def stage_scan(xyz: np.ndarray, min_range: float, max_range: float,
+               capacity: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Crop-by-range + pad in one pass -> (padded [capacity,3], valid, count)."""
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    out = np.empty((capacity, 3), np.float32)
+    valid = np.empty(capacity, np.uint8)
+    if _lib is None:
+        d2 = (xyz * xyz).sum(1)
+        keep = (d2 > min_range**2) & (d2 < max_range**2) & np.isfinite(d2)
+        pts = xyz[keep][:capacity]
+        out[: len(pts)] = pts
+        out[len(pts):] = 0
+        valid[: len(pts)] = 1
+        valid[len(pts):] = 0
+        return out, valid.astype(bool), len(pts)
+    n = _lib.svn_stage_scan(
+        _fptr(xyz), len(xyz), min_range, max_range, _fptr(out),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), capacity)
+    return out, valid.astype(bool), n
+
+
+_DTYPES = {"f4": 0, "f8": 1, "u4": 2}
+
+
+def extract_timestamps(data: bytes | np.ndarray, n: int, stride: int,
+                       offset: int, dtype: str) -> tuple[np.ndarray, bool]:
+    """Normalized per-point times from interleaved records -> ([n] f32, ok)."""
+    buf = np.frombuffer(data, np.uint8) if isinstance(data, bytes) else data
+    out = np.empty(n, np.float32)
+    if _lib is None:
+        dt = np.dtype({"f4": "<f4", "f8": "<f8", "u4": "<u4"}[dtype])
+        raw = buf.tobytes()
+        vals = np.array(
+            [np.frombuffer(raw[i * stride + offset: i * stride + offset + dt.itemsize], dt)[0]
+             for i in range(n)], np.float64)
+        mn, mx = vals.min(), vals.max()
+        if mx <= mn:
+            return out * 0, False
+        out[:] = ((vals - mn) / (mx - mn)).astype(np.float32)
+        return out, True
+    ok = _lib.svn_extract_timestamps(
+        np.ascontiguousarray(buf).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, stride, offset, _DTYPES[dtype], _fptr(out))
+    if ok < 0:
+        raise ValueError(f"bad dtype {dtype}")
+    return out, bool(ok)
+
+
+class ScanRing:
+    """Lock-free SPSC scan queue backed by the native ring (threaded ingest).
+
+    Falls back to `runtime.buffers.TimedRingBuffer` semantics when the
+    library is absent.
+    """
+
+    def __init__(self, slots: int = 16, max_points: int = 1 << 17):
+        self._max_points = max_points
+        if _lib is None:
+            from svnicp_tpu.runtime.buffers import TimedRingBuffer
+
+            self._py = TimedRingBuffer(capacity=slots)
+            self._h = None
+        else:
+            self._py = None
+            self._h = _lib.svn_ring_create(slots, max_points * 3)
+
+    def push(self, xyz: np.ndarray, stamp: float) -> bool:
+        if self._py is not None:
+            self._py.push(np.asarray(xyz, np.float32), stamp)
+            return True
+        xyz = np.ascontiguousarray(xyz, np.float32)
+        return bool(_lib.svn_ring_push(self._h, _fptr(xyz), len(xyz), stamp))
+
+    def pop(self) -> tuple[np.ndarray, float] | None:
+        if self._py is not None:
+            if len(self._py) == 0:
+                return None
+            v, t = self._py.pop_first()
+            return v, t
+        out = np.empty((self._max_points, 3), np.float32)
+        stamp = ctypes.c_double()
+        n = _lib.svn_ring_pop(self._h, _fptr(out), ctypes.byref(stamp))
+        if n < 0:
+            return None
+        return out[:n], stamp.value
+
+    def __len__(self) -> int:
+        if self._py is not None:
+            return len(self._py)
+        return _lib.svn_ring_size(self._h)
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None:
+            _lib.svn_ring_destroy(self._h)

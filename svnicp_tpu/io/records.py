@@ -22,6 +22,14 @@ def _tolist(x) -> Any:
     return arr.tolist() if arr.ndim else arr.item()
 
 
+def _json_default(o):
+    if isinstance(o, np.generic):
+        return o.item()
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
 @dataclasses.dataclass
 class ParticleRecord:
     """ref: stein_msgs/msg/SteinParticle.msg — per-dim particle arrays."""
@@ -161,7 +169,7 @@ class JSONLWriter:
     def write(self, record) -> None:
         payload = dataclasses.asdict(record)
         payload["_type"] = type(record).__name__
-        self._fp.write(json.dumps(payload) + "\n")
+        self._fp.write(json.dumps(payload, default=_json_default) + "\n")
 
     def write_all(self, records) -> None:
         for r in records:

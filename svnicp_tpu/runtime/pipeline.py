@@ -242,6 +242,14 @@ def odometry_step(
             mesh, cfg.icp, source.points, source.valid, target.points, target.valid,
             guess_r, guess_t, init_particles,
         )
+    elif cfg.icp.method == "svgd":
+        from svnicp_tpu.core import svgd
+
+        rng, mb_key = jax.random.split(rng)
+        result = svgd.register(
+            cfg.icp, source.points, source.valid, target.points, target.valid,
+            guess_r, guess_t, init_particles, rng=mb_key,
+        )
     else:
         result = svn.register(
             cfg.icp, source.points, source.valid, target.points, target.valid,
@@ -366,13 +374,24 @@ class LIOPipeline:
 
     def _stage_frame(self, t: float, points: np.ndarray, timestamps) -> FrameInput:
         cap = self.cfg.preprocess.raw_capacity
-        nraw = min(len(points), cap)
-        pts = np.zeros((cap, 3), self.cfg.np_dtype)
-        pts[:nraw] = points[:nraw]
-        valid = np.zeros(cap, bool)
-        valid[:nraw] = True
-        ts = np.zeros(cap, self.cfg.np_dtype)
-        if timestamps is not None:
+        if timestamps is None:
+            # native one-pass crop+pad (timestamp path must keep point order
+            # aligned with the timestamps, so it stays on the plain pad path)
+            from svnicp_tpu.io import native
+
+            pts, valid, _ = native.stage_scan(
+                points, self.cfg.preprocess.min_range,
+                self.cfg.preprocess.max_range, cap,
+            )
+            pts = pts.astype(self.cfg.np_dtype, copy=False)
+            ts = np.zeros(cap, self.cfg.np_dtype)
+        else:
+            nraw = min(len(points), cap)
+            pts = np.zeros((cap, 3), self.cfg.np_dtype)
+            pts[:nraw] = points[:nraw]
+            valid = np.zeros(cap, bool)
+            valid[:nraw] = True
+            ts = np.zeros(cap, self.cfg.np_dtype)
             ts[:nraw] = np.asarray(timestamps[:nraw])
 
         w = self.imu_window

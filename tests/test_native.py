@@ -1,0 +1,105 @@
+"""Native host library tests: C implementations vs numpy fallbacks.
+
+Runs against libsvnicp_native.so when built (make -C native), and verifies
+the fallbacks too so the package never silently changes behavior.
+"""
+
+import os
+import tempfile
+import threading
+
+import numpy as np
+import pytest
+
+from svnicp_tpu.io import native
+
+
+def test_library_is_built():
+    # the repo ships the Makefile; CI builds it before the suite
+    assert native.AVAILABLE, "run `make -C native` first"
+
+
+def test_read_kitti_bin(rng, tmp_path):
+    pts = rng.normal(size=(100, 4)).astype(np.float32)
+    p = tmp_path / "000000.bin"
+    pts.tofile(p)
+    out = native.read_kitti_bin(str(p))
+    np.testing.assert_allclose(out, pts[:, :3], atol=0)
+    # capacity clamp
+    out2 = native.read_kitti_bin(str(p), capacity=10)
+    assert out2.shape == (10, 3)
+
+
+def test_read_missing_file_raises(tmp_path):
+    if not native.AVAILABLE:
+        pytest.skip("native only")
+    with pytest.raises(IOError):
+        native.read_kitti_bin(str(tmp_path / "nope.bin"))
+
+
+def test_stage_scan_matches_fallback(rng):
+    xyz = (rng.normal(size=(500, 3)) * 30).astype(np.float32)
+    xyz[5] = [np.nan, 0, 0]
+    out_n, valid_n, n_n = native.stage_scan(xyz, 2.0, 50.0, 256)
+    # numpy oracle
+    d2 = np.nan_to_num((xyz * xyz).sum(1), nan=np.inf)
+    keep = (d2 > 4.0) & (d2 < 2500.0)
+    expect = xyz[keep][:256]
+    assert n_n == len(expect)
+    np.testing.assert_allclose(out_n[:n_n], expect, atol=0)
+    assert valid_n[:n_n].all() and not valid_n[n_n:].any()
+    assert (out_n[n_n:] == 0).all()
+
+
+def test_extract_timestamps(rng):
+    n, stride, offset = 64, 22, 16
+    raw = np.zeros(n * stride, np.uint8)
+    times = rng.uniform(100.0, 101.0, n).astype(np.float32)
+    for i in range(n):
+        raw[i * stride + offset: i * stride + offset + 4] = np.frombuffer(
+            times[i].tobytes(), np.uint8)
+    out, ok = native.extract_timestamps(raw.tobytes(), n, stride, offset, "f4")
+    assert ok
+    expect = (times - times.min()) / (times.max() - times.min())
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+    # degenerate: constant timestamps
+    raw2 = np.zeros(n * stride, np.uint8)
+    out2, ok2 = native.extract_timestamps(raw2.tobytes(), n, stride, offset, "f4")
+    assert not ok2
+
+
+def test_scan_ring_spsc(rng):
+    ring = native.ScanRing(slots=4, max_points=128)
+    assert ring.pop() is None
+    a = rng.normal(size=(50, 3)).astype(np.float32)
+    assert ring.push(a, 1.5)
+    assert len(ring) == 1
+    got, t = ring.pop()
+    assert t == 1.5
+    np.testing.assert_allclose(got, a, atol=0)
+    # overflow drops
+    for i in range(6):
+        ring.push(a, float(i))
+    assert len(ring) == 4
+
+    # threaded producer/consumer
+    ring2 = native.ScanRing(slots=8, max_points=64)
+    scans = [rng.normal(size=(32, 3)).astype(np.float32) for _ in range(50)]
+    received = []
+
+    def producer():
+        for i, s in enumerate(scans):
+            while not ring2.push(s, float(i)):
+                pass
+
+    def consumer():
+        while len(received) < 50:
+            item = ring2.pop()
+            if item is not None:
+                received.append(item)
+
+    tp, tc = threading.Thread(target=producer), threading.Thread(target=consumer)
+    tp.start(); tc.start(); tp.join(); tc.join()
+    assert [t for _, t in received] == [float(i) for i in range(50)]
+    for (got, t), want in zip(received, scans):
+        np.testing.assert_allclose(got, want, atol=0)

@@ -70,6 +70,12 @@ def test_align_with_pallas_matches_xla(rng):
             jnp.eye(3), jnp.zeros(3), init)
     ref = svn.register(cfg, *args)
     cfg_p = dataclasses.replace(cfg, use_pallas=True)
-    with pltpu.force_tpu_interpret_mode():
-        out = svn.register(cfg_p, *args)
+    import os
+
+    os.environ["SVNICP_PALLAS_INTERPRET"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = svn.register(cfg_p, *args)
+    finally:
+        del os.environ["SVNICP_PALLAS_INTERPRET"]
     np.testing.assert_allclose(np.asarray(out.mean), np.asarray(ref.mean), atol=1e-4)
