@@ -140,6 +140,20 @@ class LIOConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """Keyframe pose-graph / loop closure (north-star addition; the
+    reference has no analogue — its trajectory is pure odometry)."""
+
+    enabled: bool = False
+    keyframe_trans_threshold: float = 2.0
+    keyframe_rot_threshold: float = 0.3      # [rad]
+    loop_radius: float = 4.0
+    loop_min_separation: int = 20
+    optimize_every: int = 10                 # keyframes between optimizations
+    loop_max_grad: float = 1e-2              # registration convergence gate
+
+
+@dataclasses.dataclass(frozen=True)
 class ShardingConfig:
     """Device-mesh layout for multi-chip runs (no reference analogue)."""
 
@@ -154,6 +168,7 @@ class PipelineConfig:
     preprocess: PreprocessConfig = dataclasses.field(default_factory=PreprocessConfig)
     imu: IMUNoiseConfig = dataclasses.field(default_factory=IMUNoiseConfig)
     lio: LIOConfig = dataclasses.field(default_factory=LIOConfig)
+    posegraph: PoseGraphConfig = dataclasses.field(default_factory=PoseGraphConfig)
     sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
     dtype: str = "float32"
     seed: int = 0
@@ -183,6 +198,7 @@ def _build(cls, data: dict[str, Any], path: str):
 
 _RESOLVED = {
     "icp": SteinICPConfig,
+    "posegraph": PoseGraphConfig,
     "map": MapConfig,
     "preprocess": PreprocessConfig,
     "imu": IMUNoiseConfig,

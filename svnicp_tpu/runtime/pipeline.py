@@ -338,6 +338,19 @@ class LIOPipeline:
         self._frames = 0
         self.outputs: list[FrameOutput] = []
         self.times: list[float] = []
+        self.posegraph = None
+        self._keyframe_clouds: list[tuple[np.ndarray, np.ndarray]] = []
+        self.loop_closures: list[tuple[int, int]] = []
+        if self.cfg.posegraph.enabled:
+            from svnicp_tpu.runtime.posegraph import PoseGraph
+
+            pg = self.cfg.posegraph
+            self.posegraph = PoseGraph(
+                keyframe_trans_threshold=pg.keyframe_trans_threshold,
+                keyframe_rot_threshold=pg.keyframe_rot_threshold,
+                loop_radius=pg.loop_radius,
+                loop_min_separation=pg.loop_min_separation,
+            )
 
     def feed_imu(self, t: float, acc, gyro) -> None:
         dt = 0.0 if self._last_imu_time is None else t - self._last_imu_time
@@ -426,7 +439,100 @@ class LIOPipeline:
         self._last_frame_time = t
         self.outputs.append(out)
         self.times.append(t)
+        if self.posegraph is not None:
+            self._update_posegraph(t, out, points)
         return out
+
+    # ------------------------------------------------------------ pose graph
+
+    _KF_CLOUD_SIZE = 2048
+
+    def _update_posegraph(self, t: float, out: FrameOutput, raw_points) -> None:
+        """Keyframe selection + loop-closure search/verification.
+
+        The graph runs alongside odometry: loop edges come from an SVN-ICP
+        registration between stored keyframe clouds, gated on convergence;
+        `optimized_trajectory()` returns the corrected keyframe path (the
+        live map is not rebuilt — BASELINE config 4 scope)."""
+        added = self.posegraph.maybe_add_keyframe(
+            t, np.asarray(out.pose_r), np.asarray(out.pose_t), np.asarray(out.cov)
+        )
+        if not added:
+            return
+        pts = np.asarray(raw_points, np.float32)
+        if len(pts) > self._KF_CLOUD_SIZE:
+            step = len(pts) // self._KF_CLOUD_SIZE
+            pts = pts[::step][: self._KF_CLOUD_SIZE]
+        pad = np.zeros((self._KF_CLOUD_SIZE, 3), np.float32)
+        pad[: len(pts)] = pts
+        valid = np.zeros(self._KF_CLOUD_SIZE, bool)
+        valid[: len(pts)] = True
+        self._keyframe_clouds.append((pad, valid))
+
+        kf_idx = len(self.posegraph.nodes_r) - 1
+        accepted = False
+        for old, cur in self.posegraph.loop_candidates()[:2]:
+            z = self._verify_loop(old, cur)
+            if z is not None:
+                rel_r, rel_t, cov = z
+                self.posegraph.add_loop_edge(old, cur, rel_r, rel_t, cov)
+                self.loop_closures.append((old, cur))
+                accepted = True
+        if accepted or (
+            kf_idx > 0 and kf_idx % self.cfg.posegraph.optimize_every == 0
+            and self.loop_closures
+        ):
+            self.posegraph.optimize(iterations=8)
+
+    def _verify_loop(self, old: int, cur: int):
+        """Register keyframe `cur`'s cloud onto keyframe `old`'s cloud; accept
+        when the ensemble converges (grad norm below loop_max_grad)."""
+        import dataclasses as _dc
+
+        from svnicp_tpu.core import geometry as geo
+        from svnicp_tpu.core import svn
+
+        src_pts, src_valid = self._keyframe_clouds[cur]
+        tgt_pts, tgt_valid = self._keyframe_clouds[old]
+        r_old = np.asarray(self.posegraph.nodes_r[old])
+        t_old = np.asarray(self.posegraph.nodes_t[old])
+        r_cur = np.asarray(self.posegraph.nodes_r[cur])
+        t_cur = np.asarray(self.posegraph.nodes_t[cur])
+        guess_r = r_old.T @ r_cur
+        guess_t = r_old.T @ (t_cur - t_old)
+
+        loop_cfg = _dc.replace(
+            self.cfg.icp, particle_count=8, iterations=40, knn_count=32,
+            early_stop=True, use_pallas=False,
+            source_capacity=self._KF_CLOUD_SIZE,
+            target_capacity=self._KF_CLOUD_SIZE,
+        )
+        res = svn.register(
+            loop_cfg,
+            jnp.asarray(src_pts), jnp.asarray(src_valid),
+            jnp.asarray(tgt_pts), jnp.asarray(tgt_valid),
+            jnp.asarray(guess_r, jnp.float32), jnp.asarray(guess_t, jnp.float32),
+            jnp.zeros((8, 6), jnp.float32)
+            + jnp.asarray(
+                np.random.default_rng(cur).uniform(-0.05, 0.05, (8, 6)), jnp.float32
+            ),
+        )
+        if not bool(jnp.isfinite(res.mean).all()) or (
+            float(res.grad_norm) > self.cfg.posegraph.loop_max_grad
+        ):
+            return None
+        rc = np.asarray(geo.so3_exp(res.mean[3:]))
+        tc = np.asarray(res.mean[:3])
+        rel_r = guess_r @ rc
+        rel_t = guess_r @ tc + guess_t
+        return rel_r, rel_t, np.asarray(res.cov)
+
+    def optimized_trajectory(self) -> np.ndarray:
+        """[K,4,4] pose-graph-optimized keyframe trajectory (empty when the
+        graph is disabled)."""
+        if self.posegraph is None:
+            return np.zeros((0, 4, 4))
+        return self.posegraph.trajectory()
 
     def trajectory(self) -> np.ndarray:
         """[N,4,4] homogeneous poses of all processed frames."""

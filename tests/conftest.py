@@ -20,7 +20,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: repeated test runs skip XLA recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/svnicp_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/svnicp_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,119 @@
+"""Checkpoint/resume + pipeline-integrated pose graph + profiling tests."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from svnicp_tpu import config as cfg_mod
+from svnicp_tpu.io import datasets
+from svnicp_tpu.runtime import checkpoint, pipeline as pl, profiling
+
+
+def small_cfg(**over):
+    base = dict(
+        icp=cfg_mod.SteinICPConfig(particle_count=8, iterations=25, knn_count=16,
+                                   max_dist=2.8, source_capacity=1024,
+                                   target_capacity=8192),
+        map=cfg_mod.MapConfig(voxel_size=1.0, max_points_per_voxel=10,
+                              max_range=120.0, capacity=32768),
+        preprocess=cfg_mod.PreprocessConfig(min_range=1.0, max_range=50.0,
+                                            raw_capacity=8192),
+        lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
+    )
+    base.update(over)
+    return cfg_mod.PipelineConfig(**base)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip_continues_identically(self, tmp_path, rng):
+        world = datasets.SyntheticWorld(extent=40.0, seed=3)
+        times, rots, trans = datasets.synthetic_trajectory(8, dt=0.1, seed=5)
+        scans = [world.scan_at(rng, rots[i], trans[i], n_points=3000) for i in range(8)]
+        cfg = small_cfg()
+        pipe = pl.LIOPipeline(cfg)
+        for i in range(4):
+            pipe.feed_scan(float(times[i]), scans[i])
+        ckpt = str(tmp_path / "state.npz")
+        checkpoint.save_pipeline(ckpt, pipe)
+        # continue original
+        for i in range(4, 8):
+            pipe.feed_scan(float(times[i]), scans[i])
+        # resume into a fresh pipeline
+        pipe2 = pl.LIOPipeline(cfg)
+        checkpoint.load_pipeline(ckpt, pipe2)
+        for i in range(4, 8):
+            pipe2.feed_scan(float(times[i]), scans[i])
+        np.testing.assert_allclose(
+            np.asarray(pipe.outputs[-1].pose_t), np.asarray(pipe2.outputs[-1].pose_t),
+            atol=1e-5,
+        )
+
+    def test_shape_mismatch_raises(self, tmp_path, rng):
+        cfg = small_cfg()
+        pipe = pl.LIOPipeline(cfg)
+        ckpt = str(tmp_path / "s.npz")
+        checkpoint.save_pipeline(ckpt, pipe)
+        cfg2 = small_cfg(map=cfg_mod.MapConfig(capacity=16384, max_range=120.0))
+        pipe2 = pl.LIOPipeline(cfg2)
+        with pytest.raises(ValueError, match="checkpoint leaf"):
+            checkpoint.load_pipeline(ckpt, pipe2)
+
+
+class TestPoseGraphIntegration:
+    def test_keyframes_and_optimized_trajectory(self, rng):
+        world = datasets.SyntheticWorld(extent=40.0, seed=3)
+        times, rots, trans = datasets.synthetic_trajectory(
+            10, dt=0.1, speed=3.0, seed=5)
+        cfg = small_cfg(
+            posegraph=cfg_mod.PoseGraphConfig(
+                enabled=True, keyframe_trans_threshold=0.4,
+                keyframe_rot_threshold=10.0, loop_min_separation=100),
+        )
+        pipe = pl.LIOPipeline(cfg)
+        for i in range(10):
+            pipe.feed_scan(float(times[i]),
+                           world.scan_at(rng, rots[i], trans[i], n_points=3000))
+        kf = pipe.optimized_trajectory()
+        assert 2 <= len(kf) <= 10
+        # keyframes are spaced by at least the translation threshold
+        d = np.linalg.norm(np.diff(kf[:, :3, 3], axis=0), axis=1)
+        assert (d > 0.3).all()
+
+    def test_loop_closure_verification_path(self, rng):
+        # out-and-back path (identity orientation): late keyframes revisit
+        # early positions without the per-frame rotation a tight circle would
+        # demand of the odometry
+        world = datasets.SyntheticWorld(extent=30.0, seed=4)
+        xs = np.concatenate([np.linspace(0, 3.2, 9), np.linspace(2.8, -0.2, 9)])
+        n = len(xs)
+        trans = np.stack([xs, np.full(n, 0.15), np.full(n, 0.8)], 1)
+        trans[9:, 1] = -0.15  # slight lateral offset on the way back
+        rots = np.tile(np.eye(3), (n, 1, 1))
+        cfg = small_cfg(
+            posegraph=cfg_mod.PoseGraphConfig(
+                enabled=True, keyframe_trans_threshold=0.3,
+                keyframe_rot_threshold=10.0, loop_radius=1.0,
+                loop_min_separation=8, loop_max_grad=0.05),
+        )
+        pipe = pl.LIOPipeline(cfg)
+        for i in range(n):
+            pipe.feed_scan(float(i) * 0.1,
+                           world.scan_at(rng, rots[i], trans[i], n_points=3000))
+        assert len(pipe.posegraph.nodes_r) >= 10
+        # the return pass closes loops against the outbound keyframes
+        assert len(pipe.loop_closures) >= 1
+        kf = pipe.optimized_trajectory()
+        assert np.isfinite(kf).all()
+
+
+def test_stage_timer():
+    t = profiling.StageTimer()
+    with t.span("a"):
+        pass
+    with t.span("a"):
+        pass
+    with t.span("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert "a=" in t.report()
