@@ -25,7 +25,8 @@ import numpy as np
 CPU_BASELINE_FPS = 0.0451
 
 
-def build(n_frames: int, particles: int, use_pallas: bool = False):
+def build(n_frames: int, particles: int, use_pallas: bool = False,
+          candidate_method: str = "bucketed"):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
@@ -35,6 +36,7 @@ def build(n_frames: int, particles: int, use_pallas: bool = False):
             particle_count=particles, iterations=100, lr=1.0, max_dist=3.0,
             knn_count=100, early_stop=True, convergence_threshold=5e-4,
             source_capacity=4096, target_capacity=65536, use_pallas=use_pallas,
+            candidate_method=candidate_method,
         ),
         map=cfg_mod.MapConfig(voxel_size=1.0, max_points_per_voxel=20,
                               max_range=300.0, capacity=131072),
@@ -51,10 +53,11 @@ def build(n_frames: int, particles: int, use_pallas: bool = False):
     return pipe, times, scans
 
 
-def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = False):
+def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = False,
+        candidate_method: str = "bucketed"):
     import jax
 
-    pipe, times, scans = build(n_frames, particles, use_pallas)
+    pipe, times, scans = build(n_frames, particles, use_pallas, candidate_method)
     # warmup (compile + first-frame bootstrap)
     for i in range(warmup):
         out = pipe.feed_scan(float(times[i]), scans[i])
@@ -72,6 +75,9 @@ def main():
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="measure the single-CPU fps for CPU_BASELINE_FPS")
     ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("--method", default="bucketed",
+                    choices=["bucketed", "topk", "voxel"],
+                    help="stage-1 correspondence candidate method")
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable the fused Pallas NN kernel (XLA fallback)")
     args = ap.parse_args()
@@ -85,7 +91,8 @@ def main():
                           "unit": "frames/s", "vs_baseline": 1.0}))
         return
 
-    fps = run(n_frames=args.frames or 23, warmup=3, use_pallas=not args.no_pallas)
+    fps = run(n_frames=args.frames or 23, warmup=3, use_pallas=not args.no_pallas,
+              candidate_method=args.method)
     print(json.dumps({
         "metric": "lidar_frames_per_sec_per_chip_64_particles",
         "value": round(fps, 3),

@@ -44,7 +44,8 @@ class SteinICPConfig:
     lr: float = 1.0
     max_dist: float = 2.8            # correspondence gate + M-estimator scale [m]
     knn_count: int = 100             # K candidates per source point (stage-1 KNN)
-    candidate_method: str = "bucketed"  # "bucketed" (TPU-fast group-min) | "topk" (exact)
+    candidate_method: str = "bucketed"  # bucketed (group-min) | topk (exact) | voxel (hash buckets)
+    voxel_candidate_cap: int = 4     # voxel method: points taken per neighbor voxel
     use_pallas: bool = False         # fused Pallas 1-NN kernel (TPU only)
     early_stop: bool = True
     convergence_threshold: float = 5e-4
@@ -65,7 +66,7 @@ class SteinICPConfig:
             raise ValueError(f"method must be 'svn' or 'svgd', got {self.method!r}")
         if self.optimizer.lower() not in ("adam", "rmsprop", "sgd", "adagrad"):
             raise ValueError(f"unknown optimizer {self.optimizer!r}")
-        if self.candidate_method not in ("bucketed", "topk"):
+        if self.candidate_method not in ("bucketed", "topk", "voxel"):
             raise ValueError(f"unknown candidate_method {self.candidate_method!r}")
 
 

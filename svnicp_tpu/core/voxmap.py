@@ -152,3 +152,50 @@ def query_radius(
 def get_all(vmap_state: VoxelMap) -> PaddedCloud:
     """The whole map as a padded cloud (ref: GetMap(), VoxelHashMap.cpp:43-49)."""
     return PaddedCloud(vmap_state.points, vmap_state.valid)
+
+
+# 27-neighborhood offsets, static
+_OFFSETS = jnp.asarray(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    jnp.int32,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("voxel_size", "per_voxel_cap"))
+def voxel_candidates(
+    vmap_state: VoxelMap,
+    query_pts: jax.Array,     # [B,3] source points at the initial guess (world)
+    query_valid: jax.Array,   # [B]
+    voxel_size: float,
+    per_voxel_cap: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Correspondence candidates via the voxel hash itself: the 27-voxel
+    neighborhood of each query point, up to `per_voxel_cap` points per voxel.
+
+    This is the kd-tree-free NN the TPU design targets (BASELINE.json:
+    "kd-tree -> fused voxel-hash NN"): the map's key-sorted layout makes
+    bucket lookup a vectorized binary search (log C gathers) — no brute-force
+    distance pass over the map at all. Coverage guarantee: any map point
+    within `voxel_size` of the query lies inside the neighborhood, so the
+    1-NN is exact whenever it is closer than one voxel; more distant
+    correspondences fall to the ICP outlier gate (same trade the reference's
+    GetNeighbourMap made, VoxelHashMap.cpp:63-91).
+
+    Returns (cand_pts [B, 27*cap, 3], cand_valid [B, 27*cap]).
+    """
+    b = query_pts.shape[0]
+    c = vmap_state.capacity
+    v = jnp.trunc(query_pts / voxel_size).astype(jnp.int32)      # trunc = map keys
+    neigh = v[:, None, :] + _OFFSETS[None, :, :]                 # [B,27,3]
+    from svnicp_tpu.core.pointcloud import _pack
+
+    keys27 = _pack(neigh.reshape(-1, 3)).reshape(b, 27)
+    start = jnp.searchsorted(vmap_state.key, keys27, side="left")
+    end = jnp.searchsorted(vmap_state.key, keys27, side="right")
+    take = start[..., None] + jnp.arange(per_voxel_cap, dtype=jnp.int32)
+    in_run = take < end[..., None]                               # [B,27,cap]
+    take = jnp.clip(take, 0, c - 1)
+    cand = vmap_state.points[take]                               # [B,27,cap,3]
+    valid = in_run & vmap_state.valid[take] & query_valid[:, None, None]
+    k = 27 * per_voxel_cap
+    return cand.reshape(b, k, 3), valid.reshape(b, k)

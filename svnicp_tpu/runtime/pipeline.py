@@ -227,15 +227,35 @@ def odometry_step(
             sub, (cfg.icp.particle_count, 6), dtype
         )
 
-    # --- local map query around the guess (ref :576-581; radius divergence
-    # documented in voxmap.py — reference effectively used the whole map)
-    target, overflow = voxmap.query_radius(
-        state.vmap, guess_t, jnp.asarray(cfg.preprocess.max_range + 10.0, dtype),
-        cfg.icp.target_capacity,
-    )
+    # --- correspondence + alignment
+    if (cfg.icp.candidate_method == "voxel" and cfg.icp.method == "svn"
+            and mesh is None):
+        # voxel-hash bucket candidates straight from the sorted-key map:
+        # no radius query, no brute-force candidate pass
+        overflow = jnp.zeros((), jnp.int32)
+        src_world = geo.transform_points(guess_r, guess_t, source.points)
+        cand_pts, cand_valid = voxmap.voxel_candidates(
+            state.vmap, src_world, source.valid,
+            cfg.map.voxel_size, cfg.icp.voxel_candidate_cap,
+        )
+        result = svn.align(
+            cfg.icp, source.points, source.valid, cand_pts, cand_valid,
+            guess_r, guess_t, init_particles,
+        )
+        target = None
+    else:
+        # --- local map query around the guess (ref :576-581; radius
+        # divergence documented in voxmap.py — reference effectively used
+        # the whole map)
+        target, overflow = voxmap.query_radius(
+            state.vmap, guess_t, jnp.asarray(cfg.preprocess.max_range + 10.0, dtype),
+            cfg.icp.target_capacity,
+        )
 
     # --- SVN/SVGD alignment (mesh-parallel when a device mesh is given)
-    if mesh is not None:
+    if target is None:
+        pass
+    elif mesh is not None:
         from svnicp_tpu.parallel import sharding
 
         result = sharding.sharded_register(
