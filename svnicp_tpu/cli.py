@@ -119,6 +119,19 @@ def cmd_kitti(args):
 
     cfg = _load_config(args.config)
     stream = datasets.kitti_sequence(args.velodyne, args.times)
+    if args.kitti_correction:
+        # per-point vertical-offset fix + azimuth pseudo-timestamps for
+        # deskewing (ref: OdometryPipeline.cpp:385-400)
+        import jax.numpy as jnp
+
+        from svnicp_tpu.core.pointcloud import kitti_vertical_correction
+
+        def corrected(raw_stream):
+            for t, pts in raw_stream:
+                fixed, tau = kitti_vertical_correction(jnp.asarray(pts))
+                yield t, np.asarray(fixed), np.asarray(tau)
+
+        stream = corrected(stream)
     if args.max_frames:
         import itertools
 
@@ -151,6 +164,8 @@ def main(argv=None):
     k.add_argument("--poses", default=None)
     k.add_argument("--config", default=None)
     k.add_argument("--max-frames", type=int, default=0)
+    k.add_argument("--kitti-correction", action="store_true",
+                   help="apply the 0.205 deg vertical fix + azimuth timestamps")
     k.add_argument("--output", default=None)
     k.set_defaults(fn=cmd_kitti)
 

@@ -46,6 +46,8 @@ class SteinICPConfig:
     knn_count: int = 100             # K candidates per source point (stage-1 KNN)
     candidate_method: str = "bucketed"  # bucketed (group-min) | topk (exact) | voxel (hash buckets)
     voxel_candidate_cap: int = 4     # voxel method: points taken per neighbor voxel
+    adaptive_prior: bool = False     # Gaussian re-seed from recent covariances
+                                     # (ref variance_prediction, dead at :812-837)
     use_pallas: bool = False         # fused Pallas 1-NN kernel (TPU only)
     early_stop: bool = True
     convergence_threshold: float = 5e-4

@@ -226,6 +226,18 @@ def odometry_step(
         init_particles = lb + (ub - lb) * jax.random.uniform(
             sub, (cfg.icp.particle_count, 6), dtype
         )
+        if cfg.icp.adaptive_prior:
+            # the reference's (dead) variance_prediction :812-837 made live:
+            # once two frames of ICP variance exist, re-seed the prior from a
+            # 3-sigma-clamped Gaussian with cov = sum of the last two
+            wm = state.rings.mean_ring.shape[0]
+            i1 = (state.rings.count - 1) % wm
+            i2 = (state.rings.count - 2) % wm
+            cov6 = state.rings.mean_ring[i1] + state.rings.mean_ring[i2]
+            std = jnp.sqrt(jnp.maximum(cov6, 1e-12))[None, :]
+            gauss = jax.random.normal(sub, (cfg.icp.particle_count, 6), dtype) * std
+            gauss = jnp.clip(gauss, -3.0 * std, 3.0 * std)
+            init_particles = jnp.where(state.rings.count >= 2, gauss, init_particles)
 
     # --- correspondence + alignment
     if (cfg.icp.candidate_method == "voxel" and cfg.icp.method == "svn"
