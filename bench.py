@@ -41,7 +41,7 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
         map=cfg_mod.MapConfig(voxel_size=1.0, max_points_per_voxel=20,
                               max_range=300.0, capacity=131072),
         preprocess=cfg_mod.PreprocessConfig(min_range=2.0, max_range=80.0,
-                                            voxel_size=1.0, raw_capacity=65536),
+                                            voxel_size=1.0, raw_capacity=32768),
         lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
     )
     world = datasets.SyntheticWorld(extent=80.0, n_walls=24, n_boxes=16, seed=7)
