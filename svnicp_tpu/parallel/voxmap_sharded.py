@@ -1,0 +1,191 @@
+"""Map-block sharding: the voxel map partitioned across the point axis.
+
+Implements the BASELINE config-5 layout ("particles+map blocks sharded"):
+each point-axis mesh group owns one static key-range slab of the voxel map
+(contiguous packed-key ranges = x-slabs, so voxel runs never straddle
+shards and all per-voxel semantics from `core/voxmap` apply locally and
+unchanged). The particle axis replicates the map blocks.
+
+Candidate search across distributed map blocks uses a **ring gather**
+(the same communication shape as ring attention, SURVEY.md §5): each step
+every shard computes bucketed group-min candidates of its local source
+points against the currently-held map block, then `ppermute`s the block to
+its ring neighbor; after S steps every source point has candidates from
+every block, with only O(block) ICI traffic per step and no all-gather of
+the map.
+
+Static key-range splits (uniform over the packed key space) are the round-1
+scope; occupancy rebalancing is designed in docs/DESIGN-map-sharding.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from svnicp_tpu.config import SteinICPConfig
+from svnicp_tpu.core import geometry as geo
+from svnicp_tpu.core import svn
+from svnicp_tpu.core import voxmap as vm
+from svnicp_tpu.core.pointcloud import INVALID_KEY, PaddedCloud, voxel_key
+from svnicp_tpu.parallel import sharding
+
+_KEY_SPACE = 1 << 30  # packed keys live in [0, 2^30)
+
+
+def shard_bounds(shard_idx: jax.Array, n_shards: int) -> tuple[jax.Array, jax.Array]:
+    """[lo, hi) packed-key range owned by a shard (uniform static split)."""
+    width = _KEY_SPACE // n_shards
+    lo = shard_idx * width
+    hi = jnp.where(shard_idx == n_shards - 1, jnp.int32(_KEY_SPACE), lo + width)
+    return jnp.int32(lo), jnp.int32(hi)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "voxel_size", "max_points_per_voxel",
+                                             "max_range"))
+def sharded_insert(
+    mesh: Mesh,
+    vmap_global: vm.VoxelMap,   # [C] arrays, C divisible by point shards
+    scan: PaddedCloud,          # replicated scan (already downsampled)
+    pose_r: jax.Array, pose_t: jax.Array,
+    voxel_size: float, max_points_per_voxel: int, max_range: float,
+) -> tuple[vm.VoxelMap, jax.Array]:
+    """Insert a scan into the sharded map: each block masks the scan to its
+    key range and runs the ordinary local insert — zero collectives beyond
+    the (replicated) scan input."""
+
+    def body(points_l, key_l, valid_l, scan_pts, scan_valid, r, t):
+        n_shards = jax.lax.axis_size(sharding.POINT_AXIS)
+        me = jax.lax.axis_index(sharding.POINT_AXIS)
+        lo, hi = shard_bounds(me, n_shards)
+        world = geo.transform_points(r, t, scan_pts)
+        keys = voxel_key(world, voxel_size)
+        mine = scan_valid & (keys >= lo) & (keys < hi)
+        local = vm.VoxelMap(points_l, key_l, valid_l)
+        new_local, dropped = vm.insert(
+            local, PaddedCloud(scan_pts, mine), r, t,
+            voxel_size, max_points_per_voxel, max_range,
+        )
+        return (new_local.points, new_local.key, new_local.valid,
+                jax.lax.psum(dropped, sharding.POINT_AXIS))
+
+    pts, key, valid, dropped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(sharding.POINT_AXIS, None), P(sharding.POINT_AXIS), P(sharding.POINT_AXIS),
+            P(None, None), P(None), P(None, None), P(None),
+        ),
+        out_specs=(P(sharding.POINT_AXIS, None), P(sharding.POINT_AXIS),
+                   P(sharding.POINT_AXIS), P()),
+        check_vma=False,
+    )(vmap_global.points, vmap_global.key, vmap_global.valid,
+      scan.points, scan.valid, pose_r, pose_t)
+    return vm.VoxelMap(pts, key, valid), dropped
+
+
+def _ring_candidates(source_l, src_valid_l, blk_pts, blk_valid, k_per: int):
+    """Gather bucketed candidates from every map block via a point-axis ring.
+
+    Returns (cand_pts [Bl, S*k_per, 3], cand_valid [Bl, S*k_per]).
+    """
+    from svnicp_tpu.kernels import knn
+
+    n_shards = jax.lax.axis_size(sharding.POINT_AXIS)
+    me = jax.lax.axis_index(sharding.POINT_AXIS)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def step(carry, _):
+        pts, valid, acc_pts, acc_valid, slot = carry
+        idx, d2 = knn.knn_candidates_bucketed(
+            source_l, pts, src_valid_l, valid, k_per
+        )
+        got = pts[idx]                                        # [Bl,k_per,3]
+        ok = jnp.isfinite(d2)
+        acc_pts = acc_pts.at[:, slot].set(got)
+        acc_valid = acc_valid.at[:, slot].set(ok)
+        pts = jax.lax.ppermute(pts, sharding.POINT_AXIS, perm)
+        valid = jax.lax.ppermute(valid, sharding.POINT_AXIS, perm)
+        return (pts, valid, acc_pts, acc_valid, slot + 1), None
+
+    bl = source_l.shape[0]
+    acc_pts = jnp.zeros((bl, n_shards, k_per, 3), source_l.dtype)
+    acc_valid = jnp.zeros((bl, n_shards, k_per), bool)
+    (_, _, acc_pts, acc_valid, _), _ = jax.lax.scan(
+        step, (blk_pts, blk_valid, acc_pts, acc_valid, jnp.int32(0)),
+        None, length=n_shards,
+    )
+    del me
+    k = acc_pts.shape[1] * k_per
+    return acc_pts.reshape(bl, k, 3), acc_valid.reshape(bl, k)
+
+
+def sharded_register_with_map(
+    mesh: Mesh,
+    cfg: SteinICPConfig,
+    source: jax.Array,          # [B,3] sharded over the point axis
+    src_valid: jax.Array,
+    vmap_global: vm.VoxelMap,   # sharded over the point axis (key-range blocks)
+    r0: jax.Array, t0: jax.Array,
+    init_particles: jax.Array,  # [P,6] sharded over the particle axis
+) -> svn.AlignResult:
+    """Full distributed registration against the *sharded* map: ring-gather
+    candidates from all map blocks, then the mesh-parallel SVN loop."""
+    n_point = mesh.shape[sharding.POINT_AXIS]
+    k_per = max(cfg.knn_count // n_point, 1)
+
+    def body(source_l, src_valid_l, map_pts_l, map_key_l, map_valid_l,
+             r0_l, t0_l, init_l):
+        source_at_guess = geo.transform_points(r0_l, t0_l, source_l)
+        cand_pts, cand_valid = _ring_candidates(
+            source_at_guess, src_valid_l, map_pts_l, map_valid_l, k_per
+        )
+        feat, bias = svn.correspondence_features(source_l, cand_pts, cand_valid)
+        r = geo.bso3_exp(init_l[:, 3:])
+        t = init_l[:, :3]
+
+        def cond(state):
+            return (~state[4]) & (state[2] < cfg.iterations)
+
+        def step(state):
+            r_, t_, it, gn, done = state
+            r_n, t_n, grad_norm = sharding._sharded_iteration(
+                cfg, source_l, src_valid_l, cand_pts, cand_valid, feat, bias,
+                r0_l, t0_l, r_, t_,
+            )
+            done = jnp.asarray(cfg.early_stop) & (grad_norm < cfg.convergence_threshold)
+            return (r_n, t_n, it + 1, grad_norm, done)
+
+        init_state = (r, t, jnp.zeros((), jnp.int32),
+                      jnp.asarray(jnp.inf, source_l.dtype), jnp.zeros((), bool))
+        r_f, t_f, it, gn, _ = jax.lax.while_loop(cond, step, init_state)
+
+        coords = jnp.concatenate([t_f, geo.bso3_log(r_f)], axis=-1)
+        particles = jax.lax.all_gather(coords, sharding.PARTICLE_AXIS, tiled=True)
+        p = particles.shape[0]
+        weights = jnp.full((p,), 1.0 / p, particles.dtype)
+        mean = jnp.mean(particles, axis=0)
+        centered = particles - mean[None, :]
+        var = jnp.mean(centered * centered, axis=0)
+        cov = jnp.einsum("pi,pj->ij", centered, centered) / p
+        return svn.AlignResult(particles, weights, mean, var, cov, it, gn)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(sharding.POINT_AXIS, None), P(sharding.POINT_AXIS),
+            P(sharding.POINT_AXIS, None), P(sharding.POINT_AXIS), P(sharding.POINT_AXIS),
+            P(None, None), P(None), P(sharding.PARTICLE_AXIS, None),
+        ),
+        out_specs=svn.AlignResult(
+            particles=P(None, None), weights=P(None), mean=P(None),
+            var=P(None), cov=P(None, None), iterations=P(), grad_norm=P(),
+        ),
+        check_vma=False,
+    )
+    return fn(source, src_valid, vmap_global.points, vmap_global.key,
+              vmap_global.valid, r0, t0, init_particles)
