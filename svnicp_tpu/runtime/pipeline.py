@@ -419,6 +419,12 @@ class LIOPipeline:
 
     def _stage_frame(self, t: float, points: np.ndarray, timestamps) -> FrameInput:
         cap = self.cfg.preprocess.raw_capacity
+        # lidar -> IMU extrinsic compensation at ingest
+        # (ref: OdometryPipeline.cpp:349 transformPointCloud by T_lidar_imu)
+        r_ext = np.asarray(self.cfg.lio.extrinsic_R, np.float32).reshape(3, 3)
+        t_ext = np.asarray(self.cfg.lio.extrinsic_t, np.float32)
+        if not (np.allclose(r_ext, np.eye(3)) and np.allclose(t_ext, 0.0)):
+            points = np.asarray(points, np.float32) @ r_ext.T + t_ext
         if timestamps is None:
             # native one-pass crop+pad (timestamp path must keep point order
             # aligned with the timestamps, so it stays on the plain pad path)

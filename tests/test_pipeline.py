@@ -114,6 +114,60 @@ class TestOdometryKFMode:
         assert np.isfinite(np.asarray(last.var_mean)).all()
 
 
+class TestConfigVariants:
+    def test_svgd_method_pipeline(self, world):
+        cfg = small_cfg(icp=cfg_mod.SteinICPConfig(
+            method="svgd", particle_count=8, iterations=60, lr=0.03, max_dist=1.0,
+            knn_count=16, optimizer="adam", source_capacity=1024,
+            target_capacity=8192))
+        pipe, gt = run_sequence(cfg, world, n_frames=8)
+        est = pipe.trajectory()
+        ate = metrics.ate_rmse(est, gt, align="first")
+        assert ate < 0.4, f"SVGD pipeline ATE {ate}"
+
+    def test_const_cov_and_mean_filter_paths(self, world):
+        for over in (
+            cfg_mod.LIOConfig(estimator="kf", frame_gap_seconds=0.0,
+                              use_const_cov=True, const_cov=(1e-4, 1e-5)),
+            cfg_mod.LIOConfig(estimator="kf", frame_gap_seconds=0.0,
+                              cov_filter="mean"),
+        ):
+            cfg = small_cfg(lio=over)
+            pipe, _ = run_sequence(cfg, world, n_frames=5, with_imu=True)
+            assert np.isfinite(np.asarray(pipe.outputs[-1].pose_t)).all()
+
+
+class TestExtrinsics:
+    def test_extrinsic_compensation_applied(self, world, rng):
+        """Scans given in a rotated/offset lidar frame must produce the same
+        trajectory once the extrinsic is configured (ref ingest transform,
+        OdometryPipeline.cpp:349)."""
+        from scipy.spatial.transform import Rotation as sr
+
+        r_ext = sr.from_euler("z", 10, degrees=True).as_matrix().astype(np.float32)
+        t_ext = np.array([0.1, -0.2, 0.3], np.float32)
+        cfg_plain = small_cfg()
+        cfg_ext = small_cfg(lio=cfg_mod.LIOConfig(
+            estimator="icp", frame_gap_seconds=0.0,
+            extrinsic_R=tuple(r_ext.reshape(-1).tolist()),
+            extrinsic_t=tuple(t_ext.tolist())))
+
+        times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, seed=9)
+        scans = [world.scan_at(np.random.default_rng(100 + i), rots[i], trans[i],
+                               n_points=3000) for i in range(6)]
+        pipe_a = pl.LIOPipeline(cfg_plain)
+        pipe_b = pl.LIOPipeline(cfg_ext)
+        rinv = np.linalg.inv(r_ext)
+        for i in range(6):
+            pipe_a.feed_scan(float(times[i]), scans[i])
+            # present the same scan in the "lidar" frame: p_l = R^-1 (p_imu - t)
+            lidar_frame = (scans[i] - t_ext) @ rinv.T
+            pipe_b.feed_scan(float(times[i]), lidar_frame.astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(pipe_b.outputs[-1].pose_t),
+            np.asarray(pipe_a.outputs[-1].pose_t), atol=2e-2)
+
+
 class TestMetrics:
     def test_ate_zero_for_identical(self):
         poses = np.tile(np.eye(4), (10, 1, 1))
