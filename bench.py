@@ -26,14 +26,14 @@ CPU_BASELINE_FPS = 0.0451
 
 
 def build(n_frames: int, particles: int, use_pallas: bool = False,
-          candidate_method: str = "bucketed"):
+          candidate_method: str = "bucketed", iterations: int = 100):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
 
     cfg = cfg_mod.PipelineConfig(
         icp=cfg_mod.SteinICPConfig(
-            particle_count=particles, iterations=100, lr=1.0, max_dist=3.0,
+            particle_count=particles, iterations=iterations, lr=1.0, max_dist=3.0,
             knn_count=100, early_stop=True, convergence_threshold=5e-4,
             source_capacity=4096, target_capacity=65536, use_pallas=use_pallas,
             candidate_method=candidate_method,
@@ -54,10 +54,11 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
 
 
 def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = False,
-        candidate_method: str = "bucketed"):
+        candidate_method: str = "bucketed", iterations: int = 100):
     import jax
 
-    pipe, times, scans = build(n_frames, particles, use_pallas, candidate_method)
+    pipe, times, scans = build(n_frames, particles, use_pallas, candidate_method,
+                               iterations)
     # warmup (compile + first-frame bootstrap)
     for i in range(warmup):
         out = pipe.feed_scan(float(times[i]), scans[i])
@@ -75,6 +76,8 @@ def main():
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="measure the single-CPU fps for CPU_BASELINE_FPS")
     ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--particles", type=int, default=64)
     ap.add_argument("--method", default="bucketed",
                     choices=["bucketed", "topk", "voxel"],
                     help="stage-1 correspondence candidate method")
@@ -92,7 +95,8 @@ def main():
         return
 
     fps = run(n_frames=args.frames or 23, warmup=3, use_pallas=not args.no_pallas,
-              candidate_method=args.method)
+              candidate_method=args.method, iterations=args.iters,
+              particles=args.particles)
     print(json.dumps({
         "metric": "lidar_frames_per_sec_per_chip_64_particles",
         "value": round(fps, 3),

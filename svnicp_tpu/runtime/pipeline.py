@@ -572,6 +572,52 @@ class LIOPipeline:
             return np.zeros((0, 4, 4))
         return self.posegraph.trajectory()
 
+    # -------------------------------------------------------- threaded ingest
+
+    def run_threaded(self, scan_stream, ring_slots: int = 16) -> int:
+        """Consume a scan iterator through a producer thread + the native
+        lock-free SPSC ring, processing frames as they arrive.
+
+        This is the executor topology of the reference (sensor callbacks on
+        their own threads feeding the ICP worker through ring buffers,
+        ref: SVNICPNode.cpp:24-25 + OdometryPipeline.cpp:106-110): ingest
+        parsing/copies overlap device compute. Returns frames processed.
+        """
+        import threading
+
+        from svnicp_tpu.io.native import ScanRing
+
+        ring = ScanRing(slots=ring_slots,
+                        max_points=self.cfg.preprocess.raw_capacity)
+        done = threading.Event()
+
+        def producer():
+            for t, pts in scan_stream:
+                while not ring.push(np.asarray(pts, np.float32), float(t)):
+                    if done.is_set():
+                        return
+                    threading.Event().wait(0.001)
+            done.set()
+
+        worker = threading.Thread(target=producer, daemon=True)
+        worker.start()
+        n = 0
+        try:
+            while True:
+                item = ring.pop()
+                if item is None:
+                    if done.is_set() and len(ring) == 0:
+                        break
+                    threading.Event().wait(0.0005)
+                    continue
+                pts, t = item
+                if self.feed_scan(t, pts) is not None:
+                    n += 1
+        finally:
+            done.set()
+            worker.join(timeout=5)
+        return n
+
     def trajectory(self) -> np.ndarray:
         """[N,4,4] homogeneous poses of all processed frames."""
         mats = []

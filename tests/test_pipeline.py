@@ -114,6 +114,23 @@ class TestOdometryKFMode:
         assert np.isfinite(np.asarray(last.var_mean)).all()
 
 
+class TestThreadedIngest:
+    def test_run_threaded_matches_sequential(self, world, rng):
+        cfg = small_cfg()
+        times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, seed=9)
+        scans = [world.scan_at(np.random.default_rng(50 + i), rots[i], trans[i],
+                               n_points=2000) for i in range(6)]
+        pipe_seq = pl.LIOPipeline(cfg)
+        for i in range(6):
+            pipe_seq.feed_scan(float(times[i]), scans[i])
+        pipe_thr = pl.LIOPipeline(cfg)
+        n = pipe_thr.run_threaded((float(times[i]), scans[i]) for i in range(6))
+        assert n == 6
+        np.testing.assert_allclose(
+            np.asarray(pipe_thr.outputs[-1].pose_t),
+            np.asarray(pipe_seq.outputs[-1].pose_t), atol=1e-5)
+
+
 class TestConfigVariants:
     def test_svgd_method_pipeline(self, world):
         cfg = small_cfg(icp=cfg_mod.SteinICPConfig(
