@@ -80,6 +80,9 @@ class MapConfig:
     max_points_per_voxel: int = 20
     max_range: float = 300.0         # eviction radius around current pose
     capacity: int = 262144           # fixed device table size (points)
+    insert_every: int = 1            # insert scans into the map every Nth
+                                     # frame (1 = reference behavior; >1
+                                     # trades map freshness for throughput)
 
 
 @dataclasses.dataclass(frozen=True)

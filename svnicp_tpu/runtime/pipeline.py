@@ -315,11 +315,22 @@ def odometry_step(
         pose_r, pose_t = ekf.nav.r, ekf.nav.t
         var_rw = eskf_mod.random_walk_variance(ekf)
 
-    # --- map update (finer cloud, ref :630)
-    new_map, dropped = voxmap.insert(
-        state.vmap, to_map, pose_r, pose_t,
-        cfg.map.voxel_size, cfg.map.max_points_per_voxel, cfg.map.max_range,
-    )
+    # --- map update (finer cloud, ref :630); optionally decimated in time
+    if cfg.map.insert_every > 1:
+        do_insert = state.frame_idx % cfg.map.insert_every == 0
+        inserted, dropped_i = voxmap.insert(
+            state.vmap, to_map, pose_r, pose_t,
+            cfg.map.voxel_size, cfg.map.max_points_per_voxel, cfg.map.max_range,
+        )
+        new_map = jax.tree.map(
+            lambda a, b: jnp.where(do_insert, a, b), inserted, state.vmap
+        )
+        dropped = jnp.where(do_insert, dropped_i, 0)
+    else:
+        new_map, dropped = voxmap.insert(
+            state.vmap, to_map, pose_r, pose_t,
+            cfg.map.voxel_size, cfg.map.max_points_per_voxel, cfg.map.max_range,
+        )
 
     new_state = OdometryState(
         vmap=new_map,

@@ -114,6 +114,31 @@ class TestOdometryKFMode:
         assert np.isfinite(np.asarray(last.var_mean)).all()
 
 
+class TestLongRunStability:
+    def test_fifty_frames_no_divergence(self, world):
+        cfg = small_cfg()
+        pipe, gt = run_sequence(cfg, world, n_frames=50, seed=13)
+        est = pipe.trajectory()
+        for o in pipe.outputs:
+            assert np.isfinite(np.asarray(o.pose_t)).all()
+            assert np.isfinite(np.asarray(o.var_icp)).all()
+        ate = metrics.ate_rmse(est, gt, align="umeyama")
+        assert ate < 0.5, f"50-frame ATE {ate}"
+        # capacity pressure must be visible, not silent: when points are
+        # dropped the map reports full occupancy and a nonzero drop count
+        last = pipe.outputs[-1]
+        if int(last.map_dropped) > 0:
+            assert int(last.map_points) == cfg.map.capacity
+
+    def test_insert_every_two_still_tracks(self, world):
+        cfg = small_cfg(map=cfg_mod.MapConfig(
+            voxel_size=1.0, max_points_per_voxel=10, max_range=120.0,
+            capacity=32768, insert_every=2))
+        pipe, gt = run_sequence(cfg, world, n_frames=12)
+        ate = metrics.ate_rmse(pipe.trajectory(), gt, align="first")
+        assert ate < 0.2, f"decimated-insert ATE {ate}"
+
+
 class TestThreadedIngest:
     def test_run_threaded_matches_sequential(self, world, rng):
         cfg = small_cfg()
