@@ -60,15 +60,29 @@ def load_state(path: str, template):
 
 
 def save_pipeline(path: str, pipe) -> None:
-    """Checkpoint a LIOPipeline's resumable state."""
-    save_state(
-        path, pipe.state,
-        extra={
-            "frames": pipe._frames,
-            "last_frame_time": pipe._last_frame_time or -1.0,
-            "last_imu_time": pipe._last_imu_time or -1.0,
-        },
-    )
+    """Checkpoint a LIOPipeline's resumable state, including the host-side
+    pose graph (keyframes, edges, keyframe clouds) when enabled."""
+    extra = {
+        "frames": pipe._frames,
+        "last_frame_time": pipe._last_frame_time or -1.0,
+        "last_imu_time": pipe._last_imu_time or -1.0,
+    }
+    pg = pipe.posegraph
+    if pg is not None and pg.nodes_r:
+        extra["pg_nodes_r"] = np.stack(pg.nodes_r)
+        extra["pg_nodes_t"] = np.stack(pg.nodes_t)
+        extra["pg_stamps"] = np.asarray(pg.stamps)
+        if pg.edges:
+            extra["pg_edge_ij"] = np.asarray([(e[0], e[1]) for e in pg.edges])
+            extra["pg_edge_r"] = np.stack([e[2] for e in pg.edges])
+            extra["pg_edge_t"] = np.stack([e[3] for e in pg.edges])
+            extra["pg_edge_info"] = np.stack([e[4] for e in pg.edges])
+        if pipe._keyframe_clouds:
+            extra["pg_clouds"] = np.stack([c for c, _ in pipe._keyframe_clouds])
+            extra["pg_cloud_valid"] = np.stack([v for _, v in pipe._keyframe_clouds])
+        extra["pg_loops"] = (np.asarray(pipe.loop_closures)
+                             if pipe.loop_closures else np.zeros((0, 2), np.int64))
+    save_state(path, pipe.state, extra=extra)
 
 
 def load_pipeline(path: str, pipe) -> None:
@@ -81,3 +95,19 @@ def load_pipeline(path: str, pipe) -> None:
     pipe._last_frame_time = None if lft < 0 else lft
     lit = float(extra["last_imu_time"])
     pipe._last_imu_time = None if lit < 0 else lit
+    if pipe.posegraph is not None and "pg_nodes_r" in extra:
+        pg = pipe.posegraph
+        pg.nodes_r = [r for r in extra["pg_nodes_r"]]
+        pg.nodes_t = [t for t in extra["pg_nodes_t"]]
+        pg.stamps = list(extra["pg_stamps"])
+        pg.edges = []
+        if "pg_edge_ij" in extra:
+            for (i, j), r, t, info in zip(
+                extra["pg_edge_ij"], extra["pg_edge_r"],
+                extra["pg_edge_t"], extra["pg_edge_info"],
+            ):
+                pg.edges.append((int(i), int(j), r, t, info))
+        if "pg_clouds" in extra:
+            pipe._keyframe_clouds = list(
+                zip(extra["pg_clouds"], extra["pg_cloud_valid"]))
+        pipe.loop_closures = [tuple(x) for x in extra["pg_loops"]]

@@ -82,6 +82,7 @@ class FrameOutput(NamedTuple):
     cov: jax.Array             # [6,6] full particle covariance
     icp_iterations: jax.Array  # scalar int32
     icp_grad_norm: jax.Array
+    align_ok: jax.Array        # scalar bool: alignment produced finite output
     map_points: jax.Array      # scalar int32
     map_dropped: jax.Array     # scalar int32
     target_overflow: jax.Array # scalar int32
@@ -190,6 +191,7 @@ def bootstrap_frame(cfg: PipelineConfig, state: OdometryState, frame: FrameInput
         var_icp=zero6, var_mean=zero6, var_max_sliding=zero6,
         var_random_walk=zero6, cov=1e-4 * jnp.eye(6, dtype=dtype),
         icp_iterations=jnp.zeros((), jnp.int32), icp_grad_norm=jnp.zeros((), dtype),
+        align_ok=jnp.ones((), bool),
         map_points=new_map.count().astype(jnp.int32), map_dropped=dropped.astype(jnp.int32),
         target_overflow=jnp.zeros((), jnp.int32),
     )
@@ -295,7 +297,13 @@ def odometry_step(
     rings = smoother.push(state.rings, raw_var, scaled_var)
     var_max = smoother.max_filtered(rings)                  # includes current
 
-    rc, tc = geo.so3_exp(result.mean[3:]), result.mean[:3]
+    # failure containment (ref skips the frame on align failure, :599-601):
+    # a non-finite ensemble result falls back to the prediction and leaves
+    # the filter and map untouched
+    align_ok = jnp.isfinite(result.mean).all() & jnp.isfinite(result.var).all()
+    safe_mean = jnp.where(align_ok, result.mean, jnp.zeros(6, dtype))
+
+    rc, tc = geo.so3_exp(safe_mean[3:]), safe_mean[:3]
     if cfg.lio.estimator == "icp":
         pose_r, pose_t = geo.transform_compose(guess_r, guess_t, rc, tc)
         ekf = state.eskf
@@ -311,13 +319,17 @@ def odometry_step(
             meas_cov = jnp.diag(var_max)
         else:
             meas_cov = jnp.diag(raw_var)
-        ekf = eskf_mod.update(state.eskf, meas_cov, result.mean)
+        ekf_upd = eskf_mod.update(state.eskf, meas_cov, safe_mean)
+        ekf = jax.tree.map(
+            lambda a, b: jnp.where(align_ok, a, b), ekf_upd, state.eskf
+        )
         pose_r, pose_t = ekf.nav.r, ekf.nav.t
         var_rw = eskf_mod.random_walk_variance(ekf)
 
-    # --- map update (finer cloud, ref :630); optionally decimated in time
+    # --- map update (finer cloud, ref :630); optionally decimated in time;
+    # skipped entirely when alignment failed (pose would be the raw guess)
     if cfg.map.insert_every > 1:
-        do_insert = state.frame_idx % cfg.map.insert_every == 0
+        do_insert = align_ok & (state.frame_idx % cfg.map.insert_every == 0)
         inserted, dropped_i = voxmap.insert(
             state.vmap, to_map, pose_r, pose_t,
             cfg.map.voxel_size, cfg.map.max_points_per_voxel, cfg.map.max_range,
@@ -327,10 +339,14 @@ def odometry_step(
         )
         dropped = jnp.where(do_insert, dropped_i, 0)
     else:
-        new_map, dropped = voxmap.insert(
+        inserted, dropped_i = voxmap.insert(
             state.vmap, to_map, pose_r, pose_t,
             cfg.map.voxel_size, cfg.map.max_points_per_voxel, cfg.map.max_range,
         )
+        new_map = jax.tree.map(
+            lambda a, b: jnp.where(align_ok, a, b), inserted, state.vmap
+        )
+        dropped = jnp.where(align_ok, dropped_i, 0)
 
     new_state = OdometryState(
         vmap=new_map,
@@ -349,6 +365,7 @@ def odometry_step(
         var_icp=raw_var, var_mean=var_mean, var_max_sliding=var_max,
         var_random_walk=var_rw, cov=result.cov,
         icp_iterations=result.iterations, icp_grad_norm=result.grad_norm,
+        align_ok=align_ok,
         map_points=new_map.count().astype(jnp.int32),
         map_dropped=dropped.astype(jnp.int32),
         target_overflow=overflow.astype(jnp.int32),

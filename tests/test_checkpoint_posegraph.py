@@ -49,6 +49,28 @@ class TestCheckpoint:
             atol=1e-5,
         )
 
+    def test_posegraph_state_roundtrips(self, tmp_path, rng):
+        world = datasets.SyntheticWorld(extent=40.0, seed=3)
+        cfg = small_cfg(posegraph=cfg_mod.PoseGraphConfig(
+            enabled=True, keyframe_trans_threshold=0.1, loop_min_separation=100))
+        times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, speed=3.0, seed=5)
+        pipe = pl.LIOPipeline(cfg)
+        for i in range(6):
+            pipe.feed_scan(float(times[i]),
+                           world.scan_at(rng, rots[i], trans[i], n_points=2000))
+        n_kf = len(pipe.posegraph.nodes_r)
+        n_edges = len(pipe.posegraph.edges)
+        assert n_kf >= 2
+        ckpt = str(tmp_path / "pg.npz")
+        checkpoint.save_pipeline(ckpt, pipe)
+        pipe2 = pl.LIOPipeline(cfg)
+        checkpoint.load_pipeline(ckpt, pipe2)
+        assert len(pipe2.posegraph.nodes_r) == n_kf
+        assert len(pipe2.posegraph.edges) == n_edges
+        assert len(pipe2._keyframe_clouds) == n_kf
+        np.testing.assert_allclose(pipe2.posegraph.nodes_t[-1],
+                                   pipe.posegraph.nodes_t[-1])
+
     def test_shape_mismatch_raises(self, tmp_path, rng):
         cfg = small_cfg()
         pipe = pl.LIOPipeline(cfg)
