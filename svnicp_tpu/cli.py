@@ -94,7 +94,7 @@ def cmd_demo(args):
     cfg = _load_config(args.config)
     world = datasets.SyntheticWorld(extent=60.0, seed=args.seed)
     times, rots, trans = datasets.synthetic_trajectory(
-        args.frames, dt=0.1, speed=1.5, seed=args.seed)
+        args.frames, dt=0.1, speed=1.5, seed=args.seed, ramp_seconds=1.0)
     rng = np.random.default_rng(args.seed)
 
     def stream():

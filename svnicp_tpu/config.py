@@ -134,6 +134,9 @@ class LIOConfig:
     use_const_cov: bool = False
     const_cov: tuple[float, float] = (1e-4, 1e-5)    # (translation, rotation)
     cov_filter: str = "none"         # none | mean | max_sliding_window
+    textbook_phi: bool = False       # ESKF velocity->attitude block: textbook
+                                     # -skew(R a)dt instead of the reference's
+                                     # exp(skew(R a))dt (see core/eskf.py)
     frame_gap_seconds: float = 0.05
     extrinsic_R: tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)  # row-major lidar->imu
     extrinsic_t: tuple[float, float, float] = (0.0, 0.0, 0.0)

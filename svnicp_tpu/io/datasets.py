@@ -79,16 +79,25 @@ class SyntheticWorld:
 
 
 def synthetic_trajectory(n_frames: int, dt: float = 0.1, speed: float = 1.5,
-                         turn_rate: float = 0.08, seed: int = 0):
+                         turn_rate: float = 0.08, seed: int = 0,
+                         ramp_seconds: float = 0.0):
     """Smooth planar trajectory with yaw following heading.
 
+    `ramp_seconds` > 0 accelerates from rest (realistic for filter cold
+    starts: the ESKF initializes with v=0 and a tight init_vel_std, so a
+    trajectory that starts at full speed puts a synthetic transient into the
+    first frames that no real dataset has).
     Returns (times [N], rotations [N,3,3], translations [N,3]).
     """
     rng = np.random.default_rng(seed)
     times = np.arange(n_frames) * dt
     yaw = np.cumsum(rng.normal(loc=turn_rate, scale=0.02, size=n_frames) * dt)
     heading = np.stack([np.cos(yaw), np.sin(yaw), np.zeros(n_frames)], axis=1)
-    pos = np.cumsum(heading * speed * dt, axis=0)
+    if ramp_seconds > 0:
+        v = speed * np.clip(times / ramp_seconds, 0.0, 1.0)
+    else:
+        v = np.full(n_frames, speed)
+    pos = np.cumsum(heading * v[:, None] * dt, axis=0)
     pos[:, 2] = 0.8 + 0.05 * np.sin(times)
     rots = np.zeros((n_frames, 3, 3))
     for i in range(n_frames):

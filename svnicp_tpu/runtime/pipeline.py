@@ -106,7 +106,8 @@ def init_state(cfg: PipelineConfig) -> OdometryState:
 
 
 def _imu_scan_predict(state: eskf_mod.ESKFState, window: imu_mod.IMUSample,
-                      valid: jax.Array, noise) -> eskf_mod.ESKFState:
+                      valid: jax.Array, noise,
+                      textbook_phi: bool = False) -> eskf_mod.ESKFState:
     """Run ESKF predict over a padded IMU window with a lax.scan.
 
     Each window element is the *finish* sample of one propagation interval;
@@ -116,7 +117,8 @@ def _imu_scan_predict(state: eskf_mod.ESKFState, window: imu_mod.IMUSample,
     def body(carry, inp):
         st, prev = carry
         sample, ok = inp
-        st_next = eskf_mod.predict(st, prev, sample, noise)
+        st_next = eskf_mod.predict(st, prev, sample, noise,
+                                   textbook_phi=textbook_phi)
         st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), st_next, st)
         prev = jax.tree.map(lambda a, b: jnp.where(ok, a, b), sample, prev)
         return (st, prev), None
@@ -211,7 +213,8 @@ def odometry_step(
 
     # --- ESKF propagation over the IMU window (KF mode)
     if cfg.lio.estimator == "kf":
-        ekf = _imu_scan_predict(state.eskf, frame.imu, frame.imu_valid, cfg.imu)
+        ekf = _imu_scan_predict(state.eskf, frame.imu, frame.imu_valid, cfg.imu,
+                                textbook_phi=cfg.lio.textbook_phi)
         state = state._replace(eskf=ekf)
 
     # --- preprocess
