@@ -22,13 +22,6 @@ from typing import Any
 import numpy as np
 
 
-def _vec3(v, name: str) -> tuple[float, float, float]:
-    arr = [float(x) for x in v]
-    if len(arr) != 3:
-        raise ValueError(f"{name} must have 3 entries, got {len(arr)}")
-    return tuple(arr)  # type: ignore[return-value]
-
-
 @dataclasses.dataclass(frozen=True)
 class SteinICPConfig:
     """Hyperparameters of the SVGD/SVN ICP core.

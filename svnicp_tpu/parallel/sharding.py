@@ -22,8 +22,6 @@ the CPU-simulated 8-device mesh used in tests.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -175,7 +173,6 @@ def sharded_align(
         cov = jnp.einsum("pi,pj->ij", centered, centered) / p
         return svn.AlignResult(particles, weights, mean, var, cov, it, gn)
 
-    spec_point = P(None)  # source rows replicated across particle axis, sharded on point
     fn = jax.shard_map(
         body,
         mesh=mesh,
@@ -194,7 +191,6 @@ def sharded_align(
         ),
         check_vma=False,
     )
-    del spec_point
     return fn(source, src_valid, cand_pts, cand_valid, r0, t0, init_particles)
 
 

@@ -30,7 +30,7 @@ from svnicp_tpu.config import SteinICPConfig
 from svnicp_tpu.core import geometry as geo
 from svnicp_tpu.core import svn
 from svnicp_tpu.core import voxmap as vm
-from svnicp_tpu.core.pointcloud import INVALID_KEY, PaddedCloud, voxel_key
+from svnicp_tpu.core.pointcloud import PaddedCloud, voxel_key
 from svnicp_tpu.parallel import sharding
 
 _KEY_SPACE = 1 << 30  # packed keys live in [0, 2^30)
