@@ -42,6 +42,9 @@ class SteinICPConfig:
     adaptive_prior: bool = False     # Gaussian re-seed from recent covariances
                                      # (ref variance_prediction, dead at :812-837)
     use_pallas: bool = False         # fused Pallas 1-NN kernel (TPU only)
+    pallas_fused_moments: bool = False  # also fuse H/b moment accumulation
+                                     # into the kernel (correct but currently
+                                     # slower than 1-NN kernel + XLA moments)
     early_stop: bool = True
     convergence_threshold: float = 5e-4
     svn_full_grad: bool = False      # full second-order kernel Hessian coupling

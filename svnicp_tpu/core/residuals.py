@@ -39,6 +39,7 @@ def gauss_newton_system(
     transformed: jax.Array,  # [B,3] R_total @ source + t_total
     target: jax.Array,       # [B,3] matched target points
     pair_valid: jax.Array,   # [B] bool: correspondence inside the distance gate
+    point_valid: jax.Array,  # [B] bool: source point is real (not padding)
     r_total: jax.Array,      # [3,3] compound rotation R0 @ R
     max_dist: float,
 ) -> tuple[jax.Array, jax.Array]:
@@ -46,12 +47,18 @@ def gauss_newton_system(
 
     Parameter ordering is [translation(3), rotation(3)] matching the particle
     coordinates (ref: SVNICP.cpp:146 J = [R | -R ŝ]).
+
+    Gating semantics: REAL points outside the distance gate contribute the
+    reference's w=1/s=0 identity damping; PADDED points (point_valid False)
+    contribute nothing — the reference has no padding, so excluding it keeps
+    H independent of the configured capacity.
     """
     gate = pair_valid[:, None].astype(source.dtype)
     s = source * gate
     e = (transformed - target) * gate
     err_norm = jnp.linalg.norm(e, axis=-1, keepdims=True)
     w = robust_weight(err_norm, max_dist)          # [B,1]; gated pairs get w=1
+    w = w * point_valid[:, None].astype(source.dtype)
     we = w * e                                      # singly-weighted error (b)
 
     sw = jnp.sum(w)
@@ -84,6 +91,6 @@ def solve_newton(h: jax.Array, b: jax.Array) -> jax.Array:
 
 
 # Ensemble versions: vmap over the leading particle axis of (transformed,
-# pair_valid, r_total); source is shared.
-ensemble_gauss_newton = jax.vmap(gauss_newton_system, in_axes=(None, 0, 0, 0, 0, None))
+# pair_valid, r_total); source/point_valid are shared.
+ensemble_gauss_newton = jax.vmap(gauss_newton_system, in_axes=(None, 0, 0, 0, None, 0, None))
 ensemble_solve = jax.vmap(solve_newton)

@@ -221,12 +221,18 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
     if cfg.use_pallas and k % 128 == 0 and _pallas_ok():
         from svnicp_tpu.kernels import nn_pallas
 
-        # Mosaic: tile dims must be multiples of 8 (sublane) / 128 (lane)
-        # or equal to the full array dimension
-        ptile = next((d for d in (32, 16, 8) if p % d == 0), p)
-        btile = next((d for d in (256, 128) if bsz % d == 0), bsz)
-        matched, best_score = nn_pallas.fused_nn_match(
-            params, feat, bias, cand_pts, particle_tile=ptile, point_tile=btile
+        # fully-fused kernel: correspondence + robust weights + GN moments
+        # in one pass — no [P,B,*] intermediate touches HBM. Mosaic: tile
+        # dims must be multiples of 8/128 or equal the full dimension.
+        # particles sit on the output lane axis: tile = full P (or a
+        # 128-multiple for very large ensembles)
+        ptile = p if p <= 128 else next(
+            (d for d in (256, 128) if p % d == 0), p)
+        btile_pref = (128,) if ptile * k >= 64 * 128 else (256, 128)
+        btile = next((d for d in btile_pref if bsz % d == 0), bsz)
+        hess, b = nn_pallas.fused_moments(
+            params, feat, bias, cand_pts, source, src_valid, cfg.max_dist,
+            particle_tile=ptile, point_tile=btile,
         )
     else:
         cross = jnp.matmul(params, feat.T, precision=jax.lax.Precision.HIGHEST)
@@ -236,15 +242,15 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
         best_score = jnp.take_along_axis(score, nn_idx[..., None], axis=-1)[..., 0]
         b_idx = jnp.arange(bsz)[None, :]
         matched = cand_pts[b_idx, nn_idx]                      # [P,B,3]
-    nn_d2 = jnp.maximum(
-        best_score + jnp.sum(transformed * transformed, axis=-1), 0.0
-    )
-    # reference quirk: gate compares squared distance against max_dist
-    pair_valid = (nn_d2 < cfg.max_dist) & src_valid[None, :] & jnp.isfinite(best_score)
-
-    hess, b = residuals.ensemble_gauss_newton(
-        source, transformed, matched, pair_valid, r_total, cfg.max_dist
-    )
+        nn_d2 = jnp.maximum(
+            best_score + jnp.sum(transformed * transformed, axis=-1), 0.0
+        )
+        # reference quirk: gate compares squared distance against max_dist
+        pair_valid = (nn_d2 < cfg.max_dist) & jnp.isfinite(best_score)
+        hess, b = residuals.ensemble_gauss_newton(
+            source, transformed, matched, pair_valid, src_valid, r_total,
+            cfg.max_dist,
+        )
     newton = residuals.ensemble_solve(hess, b)                 # [P,6]
 
     coords = _particle_coords(state.r, state.t)

@@ -110,6 +110,171 @@ def fused_nn_match(
     return jnp.transpose(matched_t, (1, 2, 0)), best
 
 
+def _moments_kernel(max_dist_ref, params_ref, feat_t_ref, bias_ref, cand_t_ref,
+                    src_t_ref, valid_ref, mom_ref):
+    # valid_ref: [1,Bt] float (1.0 = real source point)
+    """Correspondence + robust-weighted Gauss-Newton moments, fully fused.
+
+    Per (particle-tile, point-tile) block: score matmul -> argmin ->
+    matched candidate -> residual -> M-estimator weight -> the 19 block
+    moments that assemble H and b (see core/residuals.py block identity).
+    Output layout mom[n_j, 32, P] (rows 19.. are pad to satisfy TPU
+    tiling): XLA sums over n_j and assembles the [P,6,6]/[P,6] system.
+    """
+    pt = params_ref.shape[0]
+    bt, k = bias_ref.shape
+    max_dist = max_dist_ref[0]
+
+    cross = jax.lax.dot_general(
+        params_ref[:], feat_t_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    score = (bias_ref[:].reshape(1, bt * k) - 2.0 * cross).reshape(pt, bt, k)
+    best = jnp.min(score, axis=-1)                            # [Pt,Bt]
+    hit = (score == best[..., None]).astype(jnp.float32)
+    hit = hit / jnp.maximum(jnp.sum(hit, axis=-1, keepdims=True), 1.0)
+    matched = jax.lax.dot_general(
+        jnp.swapaxes(hit, 0, 1), cand_t_ref[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                          # [Bt,Pt,3]
+    matched = jnp.transpose(matched, (1, 2, 0))                # [Pt,3,Bt]
+
+    # transformed[p,i,:] = sum_j R_p[i,j] s[j,:] + t_p[i], unrolled per
+    # component (Mosaic rejects the [Pt,9]->[Pt*3,3] shape cast a batched
+    # dot would need)
+    src_rows = [src_t_ref[j, :] for j in range(3)]             # 3 x [Bt]
+    transformed = jnp.stack(
+        [
+            params_ref[:, 3 * i + 0][:, None] * src_rows[0][None, :]
+            + params_ref[:, 3 * i + 1][:, None] * src_rows[1][None, :]
+            + params_ref[:, 3 * i + 2][:, None] * src_rows[2][None, :]
+            + params_ref[:, 9 + i][:, None]
+            for i in range(3)
+        ],
+        axis=1,
+    )                                                          # [Pt,3,Bt]
+
+    t2 = jnp.sum(transformed * transformed, axis=1)            # [Pt,Bt]
+    d2 = jnp.maximum(best + t2, 0.0)
+    # reference gate: squared distance vs un-squared max_dist; rows whose
+    # candidates are all invalid (best=inf) are treated as gated
+    vmask = valid_ref[:].reshape(1, bt)                        # [1,Bt] float
+    gate = ((d2 < max_dist) & (best < jnp.float32(1e30))).astype(jnp.float32)
+
+    s = src_t_ref[:]                                           # [3,Bt]
+    s_g = s[None] * gate[:, None, :]                           # [Pt,3,Bt]
+    e = (transformed - matched) * gate[:, None, :]
+    en = jnp.sqrt(jnp.sum(e * e, axis=1))                      # [Pt,Bt]
+    w = (max_dist / (max_dist + 3.0 * en)) ** 2                # gated pts: w=1
+    w = w * vmask                                              # padding: w=0
+    we = w[:, None, :] * e
+
+    # rte[p,j,:] = sum_i R_p[i,j] we[p,i,:]  (R^T (w e)), unrolled per
+    # component — Mosaic rejects batched einsum dot lowerings here
+    rcol = [[params_ref[:, 3 * i + j] for j in range(3)] for i in range(3)]
+    rte = [
+        rcol[0][j][:, None] * we[:, 0, :]
+        + rcol[1][j][:, None] * we[:, 1, :]
+        + rcol[2][j][:, None] * we[:, 2, :]
+        for j in range(3)
+    ]                                                          # 3 x [Pt,Bt]
+
+    s0, s1, s2 = s_g[:, 0, :], s_g[:, 1, :], s_g[:, 2, :]
+    comps = [jnp.sum(w, axis=1)]                               # sw
+    comps += [jnp.sum(w * s_g[:, i, :], axis=1) for i in range(3)]      # m1
+    comps += [jnp.sum(w * s_g[:, i, :] * s_g[:, j, :], axis=1)
+              for i in range(3) for j in range(3)]                      # m2
+    comps += [jnp.sum(rte[j], axis=1) for j in range(3)]                # b_t
+    comps += [                                                          # b_r
+        jnp.sum(s1 * rte[2] - s2 * rte[1], axis=1),
+        jnp.sum(s2 * rte[0] - s0 * rte[2], axis=1),
+        jnp.sum(s0 * rte[1] - s1 * rte[0], axis=1),
+    ]
+    zero = jnp.zeros((pt,), jnp.float32)
+    comps += [zero] * (32 - len(comps))
+    mom_ref[:] = jnp.stack(comps, axis=0)[None]                # [1,32,Pt]
+
+
+@functools.partial(jax.jit, static_argnames=("particle_tile", "point_tile", "interpret"))
+def fused_moments(
+    params: jax.Array,        # [P,12]
+    feat: jax.Array,          # [B*K,12]
+    bias: jax.Array,          # [B,K] (+inf at invalid slots)
+    cand_pts: jax.Array,      # [B,K,3]
+    source: jax.Array,        # [B,3]
+    src_valid: jax.Array,     # [B] bool
+    max_dist: float,
+    particle_tile: int = 64,
+    point_tile: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """One fused pass: per-particle H [P,6,6] and b [P,6] straight from the
+    candidate sets — no [P,B,*] intermediate ever touches HBM."""
+    p = params.shape[0]
+    b, k = bias.shape
+    assert k % 128 == 0 and p % particle_tile == 0 and b % point_tile == 0
+    # the moments output puts particles on the lane axis
+    assert particle_tile == p or particle_tile % 128 == 0, particle_tile
+
+    feat_t = feat.T
+    cand_t = jnp.swapaxes(cand_pts, 1, 2)
+    src_t = source.T                                           # [3,B]
+    vmask = src_valid.astype(jnp.float32).reshape(1, b)
+    md = jnp.asarray([max_dist], jnp.float32)
+
+    n_j = b // point_tile
+    grid = (p // particle_tile, n_j)
+    moments = pl.pallas_call(
+        _moments_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((particle_tile, 12), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, point_tile * k), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((point_tile, k), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((point_tile, 3, k), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, point_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, point_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 32, particle_tile), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_j, 32, p), jnp.float32),
+        interpret=interpret,
+    )(md, params, feat_t, bias, cand_t, src_t, vmask)
+
+    m = jnp.sum(moments, axis=0).T                             # [P,32]
+    sw, m1 = m[:, 0], m[:, 1:4]
+    m2 = m[:, 4:13].reshape(p, 3, 3)
+    b_t, b_r = m[:, 13:16], m[:, 16:19]
+
+    eye = jnp.eye(3, dtype=jnp.float32)
+    sk = _skew_batch(m1)
+    h_tt = sw[:, None, None] * eye[None]
+    h_rr = jnp.trace(m2, axis1=1, axis2=2)[:, None, None] * eye[None] - m2
+    top = jnp.concatenate([h_tt, -sk], axis=2)
+    bot = jnp.concatenate([sk, h_rr], axis=2)
+    h = jnp.concatenate([top, bot], axis=1) + 1e-6 * jnp.eye(6, dtype=jnp.float32)
+    bvec = jnp.concatenate([b_t, b_r], axis=1)
+    return h, bvec
+
+
+def _skew_batch(v):
+    zero = jnp.zeros_like(v[:, 0])
+    return jnp.stack([
+        jnp.stack([zero, -v[:, 2], v[:, 1]], axis=-1),
+        jnp.stack([v[:, 2], zero, -v[:, 0]], axis=-1),
+        jnp.stack([-v[:, 1], v[:, 0], zero], axis=-1),
+    ], axis=-2)
+
+
 def fused_nn_match_oracle(params, feat, bias, cand_pts):
     """Pure-jnp reference (the XLA path of core/svn.py), for kernel tests."""
     p = params.shape[0]

@@ -90,7 +90,7 @@ def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_va
 
     # local-point partial H/b, then Schur-style psum over the point axis
     hess, b = residuals.ensemble_gauss_newton(
-        source, transformed, matched, pair_valid, r_total, cfg.max_dist
+        source, transformed, matched, pair_valid, src_valid, r_total, cfg.max_dist
     )
     # the +jitter and gate-damping identity blocks are added per point shard;
     # correct for the duplicated jitter after the reduction

@@ -49,6 +49,40 @@ def test_pad_candidates():
     assert not np.asarray(cv)[:, 100:].any()
 
 
+def test_fused_moments_matches_xla_assembly(rng):
+    """The fully-fused kernel must reproduce the XLA H/b assembly exactly."""
+    from svnicp_tpu.core import residuals
+
+    p, b, k = 8, 64, 128
+    source = jnp.asarray(rng.normal(size=(b, 3)).astype(np.float32) * 5)
+    src_valid = jnp.asarray(rng.random(b) > 0.2)
+    cand = jnp.asarray(rng.normal(size=(b, k, 3)).astype(np.float32) * 5)
+    cvalid = jnp.asarray(rng.random((b, k)) > 0.1)
+    feat, bias = svn.correspondence_features(source, cand, cvalid)
+    xi = jnp.asarray(rng.normal(size=(p, 6)).astype(np.float32) * 0.1)
+    r = geo.bso3_exp(xi[:, 3:])
+    t = xi[:, :3]
+    params = jnp.concatenate([r.reshape(p, 9), t], axis=-1)
+    max_dist = 2.8
+
+    h_ker, b_ker = nn_pallas.fused_moments(
+        params, feat, bias, cand, source, src_valid, max_dist,
+        particle_tile=8, point_tile=16, interpret=True,
+    )
+
+    # XLA reference path
+    m_ref, s_ref = nn_pallas.fused_nn_match_oracle(params, feat, bias, cand)
+    transformed = jnp.einsum("pij,bj->pbi", r, source) + t[:, None, :]
+    nn_d2 = jnp.maximum(s_ref + jnp.sum(transformed**2, axis=-1), 0.0)
+    pair_valid = (nn_d2 < max_dist) & jnp.isfinite(s_ref)
+    h_ref, b_ref = residuals.ensemble_gauss_newton(
+        source, transformed, m_ref, pair_valid, src_valid, r, max_dist)
+    np.testing.assert_allclose(np.asarray(h_ker), np.asarray(h_ref),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(b_ker), np.asarray(b_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_align_with_pallas_matches_xla(rng):
     """End-to-end: align with use_pallas (interpret) vs the XLA path."""
     import dataclasses

@@ -40,7 +40,7 @@ def test_block_moment_identity(rng):
 
     h, bb = residuals.gauss_newton_system(
         jnp.asarray(source), transformed, target, jnp.asarray(pair_valid),
-        r_total, 2.8,
+        jnp.ones(b_count, bool), r_total, 2.8,
     )
     h_ref, b_ref = naive_system(source, np.asarray(transformed), np.asarray(target),
                                 pair_valid, np.asarray(r_total), 2.8)
@@ -56,7 +56,8 @@ def test_gated_pairs_add_identity_to_translation_block(rng):
     transformed = jnp.asarray(source)
     target = transformed
     h, bb = residuals.gauss_newton_system(
-        jnp.asarray(source), transformed, target, jnp.zeros(b_count, bool), r, 2.8
+        jnp.asarray(source), transformed, target, jnp.zeros(b_count, bool),
+        jnp.ones(b_count, bool), r, 2.8
     )
     np.testing.assert_allclose(np.asarray(h)[:3, :3], b_count * np.eye(3), atol=1e-4)
     np.testing.assert_allclose(np.asarray(h)[3:, 3:], 1e-6 * np.eye(3), atol=1e-6)
