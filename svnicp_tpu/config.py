@@ -90,6 +90,8 @@ class PreprocessConfig:
     voxel_size: float = 1.0          # two-stage uniform downsample base size
     deskew: bool = False
     use_segmentation: bool = False
+    sensor_model: str = "hdl64"      # segmentation scan geometry preset:
+                                     # hdl64 | hdl32 | vlp16
     raw_capacity: int = 131072       # padded raw scan size
 
 

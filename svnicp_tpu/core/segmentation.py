@@ -56,11 +56,11 @@ VLP16 = SensorModel(n_scan=16, horizon=1800, ang_res_y=2.0, ang_bottom=15.1, gro
 HDL32 = SensorModel(n_scan=32, horizon=1800, ang_res_y=41.33 / 31.0, ang_bottom=30.67,
                     ground_rows=20)
 
-SEGMENT_THETA = 60.0 / 180.0 * jnp.pi
+SEGMENT_THETA = 60.0 / 180.0 * 3.141592653589793
 MIN_SEGMENT_CELLS = 30
 MIN_SEGMENT_POINTS = 5
 MIN_SEGMENT_LINES = 3
-INVALID = jnp.float32(-1.0)
+INVALID = -1.0
 
 
 class RangeImage(NamedTuple):

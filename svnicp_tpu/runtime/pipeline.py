@@ -128,9 +128,29 @@ def _imu_scan_predict(state: eskf_mod.ESKFState, window: imu_mod.IMUSample,
     return st
 
 
+def _sensor_model(name: str):
+    from svnicp_tpu.core import segmentation as seg
+
+    return {"hdl64": seg.HDL64, "hdl32": seg.HDL32, "vlp16": seg.VLP16}[name]
+
+
 def _preprocess(cfg: PipelineConfig, state: OdometryState, frame: FrameInput):
-    """Deskew + crop + two-stage downsample (ref: OdometryPipeline.cpp:549-560)."""
+    """Segmentation + deskew + crop + two-stage downsample
+    (ref: OdometryPipeline.cpp:549-560; segmentation runs first, at ingest
+    in the reference, :331-345)."""
     points = frame.points
+    if cfg.preprocess.use_segmentation:
+        from svnicp_tpu.core import segmentation as seg
+
+        segmented = seg.segment_cloud(
+            points, frame.valid, _sensor_model(cfg.preprocess.sensor_model),
+            cfg.preprocess.raw_capacity,
+        )
+        points = segmented.points
+        # NOTE: segmentation reorders points, so per-point deskew timestamps
+        # no longer align; the reference has the same constraint (it
+        # segments before deskewing and deskew reads the original message)
+        frame = frame._replace(points=points, valid=segmented.valid)
     if cfg.preprocess.deskew:
         # relative motion of the last two poses (ref: deskew_pointcloud :425-432)
         rd, td = geo.transform_compose(

@@ -224,3 +224,20 @@ class TestMetrics:
             r[:, 0] *= -1
         est = gt @ r.T + np.array([5.0, -3.0, 2.0])
         assert metrics.ate_rmse(est, gt, align="umeyama") < 1e-6
+
+
+class TestSegmentationInPipeline:
+    def test_segmentation_path_runs_and_tracks(self, rng):
+        # scans synthesized on an HDL-like pattern so the range image fills;
+        # verifies the use_segmentation config path end to end
+        cfg = small_cfg(preprocess=cfg_mod.PreprocessConfig(
+            min_range=1.0, max_range=50.0, raw_capacity=8192,
+            use_segmentation=True, sensor_model="vlp16"))
+        world = datasets.SyntheticWorld(extent=40.0, seed=3)
+        times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, seed=5)
+        pipe = pl.LIOPipeline(cfg)
+        for i in range(6):
+            out = pipe.feed_scan(float(times[i]),
+                                 world.scan_at(rng, rots[i], trans[i], n_points=4000))
+        assert np.isfinite(np.asarray(out.pose_t)).all()
+        assert int(out.map_points) > 0
