@@ -14,8 +14,12 @@ its ring neighbor; after S steps every source point has candidates from
 every block, with only O(block) ICI traffic per step and no all-gather of
 the map.
 
-Static key-range splits (uniform over the packed key space) are the round-1
-scope; occupancy rebalancing is designed in docs/DESIGN-map-sharding.md.
+Key ranges start as a uniform static split of the packed key space and can
+be **rebalanced online** (`rebalance`): shards drift in occupancy as the
+vehicle moves, so every K frames the caller may recompute the `split_keys`
+boundaries from a weighted sample of resident keys (all_gather of ~S*512
+int32 — tiny) and redistribute rows with the same ring `ppermute` pass the
+candidate gather uses. See docs/DESIGN-map-sharding.md.
 """
 
 from __future__ import annotations
@@ -30,7 +34,8 @@ from svnicp_tpu.config import SteinICPConfig
 from svnicp_tpu.core import geometry as geo
 from svnicp_tpu.core import svn
 from svnicp_tpu.core import voxmap as vm
-from svnicp_tpu.core.pointcloud import PaddedCloud, voxel_key
+from svnicp_tpu.core.pointcloud import (INVALID_KEY, PaddedCloud, compaction_order,
+                                        voxel_key)
 from svnicp_tpu.parallel import sharding
 
 _KEY_SPACE = 1 << 30  # packed keys live in [0, 2^30)
@@ -44,6 +49,18 @@ def shard_bounds(shard_idx: jax.Array, n_shards: int) -> tuple[jax.Array, jax.Ar
     return jnp.int32(lo), jnp.int32(hi)
 
 
+def uniform_split_keys(n_shards: int) -> jax.Array:
+    """[S-1] upper boundaries of the uniform static split: shard s owns keys
+    in [splits[s-1], splits[s]) with implicit splits[-1]=0, splits[S-1]=inf."""
+    width = _KEY_SPACE // n_shards
+    return jnp.arange(1, n_shards, dtype=jnp.int32) * width
+
+
+def owner_of(keys: jax.Array, split_keys: jax.Array) -> jax.Array:
+    """Shard index owning each packed key under the given boundaries."""
+    return jnp.searchsorted(split_keys, keys, side="right").astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "voxel_size", "max_points_per_voxel",
                                              "max_range"))
 def sharded_insert(
@@ -52,18 +69,19 @@ def sharded_insert(
     scan: PaddedCloud,          # replicated scan (already downsampled)
     pose_r: jax.Array, pose_t: jax.Array,
     voxel_size: float, max_points_per_voxel: int, max_range: float,
+    split_keys: jax.Array | None = None,   # [S-1] boundaries (None = uniform)
 ) -> tuple[vm.VoxelMap, jax.Array]:
     """Insert a scan into the sharded map: each block masks the scan to its
     key range and runs the ordinary local insert — zero collectives beyond
     the (replicated) scan input."""
+    if split_keys is None:
+        split_keys = uniform_split_keys(mesh.shape[sharding.POINT_AXIS])
 
-    def body(points_l, key_l, valid_l, scan_pts, scan_valid, r, t):
-        n_shards = jax.lax.axis_size(sharding.POINT_AXIS)
+    def body(points_l, key_l, valid_l, scan_pts, scan_valid, r, t, splits):
         me = jax.lax.axis_index(sharding.POINT_AXIS)
-        lo, hi = shard_bounds(me, n_shards)
         world = geo.transform_points(r, t, scan_pts)
         keys = voxel_key(world, voxel_size)
-        mine = scan_valid & (keys >= lo) & (keys < hi)
+        mine = scan_valid & (owner_of(keys, splits) == me)
         local = vm.VoxelMap(points_l, key_l, valid_l)
         new_local, dropped = vm.insert(
             local, PaddedCloud(scan_pts, mine), r, t,
@@ -77,14 +95,114 @@ def sharded_insert(
         mesh=mesh,
         in_specs=(
             P(sharding.POINT_AXIS, None), P(sharding.POINT_AXIS), P(sharding.POINT_AXIS),
-            P(None, None), P(None), P(None, None), P(None),
+            P(None, None), P(None), P(None, None), P(None), P(None),
         ),
         out_specs=(P(sharding.POINT_AXIS, None), P(sharding.POINT_AXIS),
                    P(sharding.POINT_AXIS), P()),
         check_vma=False,
     )(vmap_global.points, vmap_global.key, vmap_global.valid,
-      scan.points, scan.valid, pose_r, pose_t)
+      scan.points, scan.valid, pose_r, pose_t, split_keys)
     return vm.VoxelMap(pts, key, valid), dropped
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "sample_per_shard",
+                                             "imbalance_threshold"))
+def rebalance(
+    mesh: Mesh,
+    vmap_global: vm.VoxelMap,   # sharded over the point axis (key-range blocks)
+    split_keys: jax.Array,      # [S-1] current boundaries (replicated)
+    sample_per_shard: int = 512,
+    imbalance_threshold: float = 1.5,
+) -> tuple[vm.VoxelMap, jax.Array, jax.Array]:
+    """Occupancy rebalancing (docs/DESIGN-map-sharding.md): when the fullest
+    shard exceeds ``imbalance_threshold`` x the mean occupancy, recompute the
+    key-range boundaries as weighted quantiles of a strided sample of
+    resident keys (one all_gather of [S, sample_per_shard] int32) and
+    redistribute rows with a ring ``ppermute`` pass: each shard keeps an
+    accumulator of its local capacity, absorbing the rows it owns from every
+    visiting block (hash-ordered truncation on overflow, same policy as
+    `voxmap.insert`).
+
+    Below the threshold the boundaries are kept and the ring pass is an
+    identity, so the call is safe to make unconditionally every K frames.
+
+    Returns (new map, new split_keys, dropped row count).
+    """
+    n_shards = mesh.shape[sharding.POINT_AXIS]
+
+    def body(points_l, key_l, valid_l, splits):
+        me = jax.lax.axis_index(sharding.POINT_AXIS)
+        cl = key_l.shape[0]
+        cnt = jnp.sum(valid_l).astype(jnp.int32)
+        counts = jax.lax.all_gather(cnt, sharding.POINT_AXIS)      # [S]
+        total = jnp.sum(counts)
+        mean_occ = total.astype(jnp.float32) / n_shards
+        need = (counts.max().astype(jnp.float32)
+                > imbalance_threshold * jnp.maximum(mean_occ, 1.0)) & (total > 0)
+
+        # --- weighted key sample -> quantile boundaries (deterministic: every
+        # shard computes the same splits from the same gathered sample)
+        m = sample_per_shard
+        # local table is key-sorted with valid rows first: a strided index
+        # over the first `cnt` rows is a uniform sample of resident keys
+        idx = (jnp.arange(m, dtype=jnp.int32) * jnp.maximum(cnt, 1)) // m
+        samp = jnp.where(cnt > 0, key_l[idx], jnp.int32(_KEY_SPACE))
+        w = jnp.where(cnt > 0, cnt.astype(jnp.float32) / m, 0.0)
+        samp_all = jax.lax.all_gather(samp, sharding.POINT_AXIS).reshape(-1)
+        w_all = jnp.repeat(jax.lax.all_gather(w, sharding.POINT_AXIS), m)
+        order = jnp.argsort(samp_all)
+        sk, sw = samp_all[order], w_all[order]
+        cum = jnp.cumsum(sw)
+        targets = jnp.arange(1, n_shards, dtype=jnp.float32) * (
+            total.astype(jnp.float32) / n_shards
+        )
+        pos = jnp.clip(jnp.searchsorted(cum, targets, side="left"),
+                       0, sk.shape[0] - 1)
+        # boundary *after* the quantile key so equal keys stay together
+        new_splits = jax.lax.cummax(sk[pos] + 1)
+        new_splits = jnp.where(need, new_splits, splits)
+
+        # --- ring redistribution under the (possibly new) boundaries
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+        def step(carry, _):
+            pts, key, valid, acc_pts, acc_key, acc_valid, dropped = carry
+            mine = valid & (owner_of(key, new_splits) == me)
+            cat_key = jnp.concatenate([acc_key, jnp.where(mine, key, INVALID_KEY)])
+            cat_pts = jnp.concatenate([acc_pts, pts])
+            cat_valid = jnp.concatenate([acc_valid, mine])
+            kept_total = jnp.sum(cat_valid)
+            korder = compaction_order(cat_valid, cat_key)[:cl]
+            k_keep = cat_valid[korder]
+            k_key = jnp.where(k_keep, cat_key[korder], INVALID_KEY)
+            k_pts = jnp.where(k_keep[:, None], cat_pts[korder], 0.0)
+            final = jnp.argsort(k_key, stable=True)
+            dropped += jnp.maximum(kept_total - cl, 0)
+            pts = jax.lax.ppermute(pts, sharding.POINT_AXIS, perm)
+            key = jax.lax.ppermute(key, sharding.POINT_AXIS, perm)
+            valid = jax.lax.ppermute(valid, sharding.POINT_AXIS, perm)
+            return (pts, key, valid,
+                    k_pts[final], k_key[final], k_keep[final], dropped), None
+
+        acc0 = (points_l, key_l, valid_l,
+                jnp.zeros_like(points_l), jnp.full_like(key_l, INVALID_KEY),
+                jnp.zeros_like(valid_l), jnp.zeros((), jnp.int32))
+        (_, _, _, acc_pts, acc_key, acc_valid, dropped), _ = jax.lax.scan(
+            step, acc0, None, length=n_shards
+        )
+        return (acc_pts, acc_key, acc_valid, new_splits,
+                jax.lax.psum(dropped, sharding.POINT_AXIS))
+
+    pts, key, valid, new_splits, dropped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(sharding.POINT_AXIS, None), P(sharding.POINT_AXIS),
+                  P(sharding.POINT_AXIS), P(None)),
+        out_specs=(P(sharding.POINT_AXIS, None), P(sharding.POINT_AXIS),
+                   P(sharding.POINT_AXIS), P(None), P()),
+        check_vma=False,
+    )(vmap_global.points, vmap_global.key, vmap_global.valid, split_keys)
+    return vm.VoxelMap(pts, key, valid), new_splits, dropped
 
 
 def _ring_candidates(source_l, src_valid_l, blk_pts, blk_valid, k_per: int):

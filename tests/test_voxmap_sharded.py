@@ -61,6 +61,79 @@ def test_sharded_insert_accumulates(rng, mesh):
     assert int(m.count()) > 500
 
 
+def _shard_counts(m, n_blocks=4):
+    valid = np.asarray(m.valid).reshape(n_blocks, -1)
+    return valid.sum(axis=1)
+
+
+def test_rebalance_spreads_a_skewed_map(rng, mesh):
+    # all points in a tiny region -> one key-range shard owns ~everything
+    pts = rng.uniform(0.0, 3.0, size=(1024, 3)).astype(np.float32)
+    m = vm.create(4096)
+    splits = vms.uniform_split_keys(4)
+    m, _ = vms.sharded_insert(mesh, m, pc.from_numpy(pts, 1024),
+                              jnp.eye(3), jnp.zeros(3), 1.0, 64, 200.0, splits)
+    before = _shard_counts(m)
+    assert before.max() > 0.9 * before.sum()  # genuinely skewed
+
+    ref_set = {tuple(np.round(p, 4))
+               for p in np.asarray(m.points)[np.asarray(m.valid)]}
+    m2, splits2, dropped = vms.rebalance(mesh, m, splits)
+    after = _shard_counts(m2)
+    assert int(dropped) == 0
+    # content preserved exactly
+    got_set = {tuple(np.round(p, 4))
+               for p in np.asarray(m2.points)[np.asarray(m2.valid)]}
+    assert got_set == ref_set
+    # occupancy balanced: no shard above ~1.5x mean (quantile sampling slack)
+    assert after.max() <= 1.6 * after.mean()
+    # ownership invariant holds under the new boundaries
+    keys = np.asarray(m2.key).reshape(4, -1)
+    valid = np.asarray(m2.valid).reshape(4, -1)
+    owners = np.searchsorted(np.asarray(splits2), keys, side="right")
+    for s in range(4):
+        assert (owners[s][valid[s]] == s).all(), s
+
+
+def test_rebalance_is_identity_when_balanced(rng, mesh):
+    # uniform world -> uniform split already balanced -> no-op pass
+    pts = rng.uniform(-40, 40, size=(1024, 3)).astype(np.float32)
+    m = vm.create(4096)
+    splits = vms.uniform_split_keys(4)
+    m, _ = vms.sharded_insert(mesh, m, pc.from_numpy(pts, 1024),
+                              jnp.eye(3), jnp.zeros(3), 1.0, 64, 200.0, splits)
+    m2, splits2, dropped = vms.rebalance(mesh, m, splits,
+                                         imbalance_threshold=3.0)
+    assert int(dropped) == 0
+    np.testing.assert_array_equal(np.asarray(splits2), np.asarray(splits))
+    np.testing.assert_array_equal(np.asarray(m2.key), np.asarray(m.key))
+    np.testing.assert_array_equal(np.asarray(m2.valid), np.asarray(m.valid))
+    np.testing.assert_allclose(np.asarray(m2.points), np.asarray(m.points))
+
+
+def test_insert_routes_by_rebalanced_splits(rng, mesh):
+    pts = rng.uniform(0.0, 3.0, size=(512, 3)).astype(np.float32)
+    m = vm.create(4096)
+    splits = vms.uniform_split_keys(4)
+    m, _ = vms.sharded_insert(mesh, m, pc.from_numpy(pts, 512),
+                              jnp.eye(3), jnp.zeros(3), 1.0, 64, 200.0, splits)
+    m, splits, _ = vms.rebalance(mesh, m, splits)
+    # further inserts in the same region now spread across shards
+    pts2 = rng.uniform(0.0, 3.0, size=(512, 3)).astype(np.float32)
+    m, dropped = vms.sharded_insert(mesh, m, pc.from_numpy(pts2, 512),
+                                    jnp.eye(3), jnp.zeros(3), 1.0, 64, 200.0,
+                                    splits)
+    assert int(dropped) == 0
+    counts = _shard_counts(m)
+    assert (counts > 0).sum() >= 3  # was 1 shard before rebalancing
+    # ownership invariant under the rebalanced boundaries
+    keys = np.asarray(m.key).reshape(4, -1)
+    valid = np.asarray(m.valid).reshape(4, -1)
+    owners = np.searchsorted(np.asarray(splits), keys, side="right")
+    for s in range(4):
+        assert (owners[s][valid[s]] == s).all(), s
+
+
 def test_registration_against_sharded_map(rng, mesh):
     # build a structured world map via sharded inserts, then register a
     # perturbed scan against it end-to-end through the ring candidates
