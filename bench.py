@@ -26,7 +26,8 @@ CPU_BASELINE_FPS = 0.0451
 
 
 def build(n_frames: int, particles: int, use_pallas: bool = False,
-          candidate_method: str = "bucketed", iterations: int = 100):
+          candidate_method: str = "bucketed", iterations: int = 100,
+          early_stop: bool = True):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
@@ -34,7 +35,7 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
     cfg = cfg_mod.PipelineConfig(
         icp=cfg_mod.SteinICPConfig(
             particle_count=particles, iterations=iterations, lr=1.0, max_dist=3.0,
-            knn_count=100, early_stop=True, convergence_threshold=5e-4,
+            knn_count=100, early_stop=early_stop, convergence_threshold=5e-4,
             source_capacity=4096, target_capacity=65536, use_pallas=use_pallas,
             candidate_method=candidate_method,
         ),
@@ -54,11 +55,12 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
 
 
 def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = False,
-        candidate_method: str = "bucketed", iterations: int = 100):
+        candidate_method: str = "bucketed", iterations: int = 100,
+        early_stop: bool = True):
     import jax
 
     pipe, times, scans = build(n_frames, particles, use_pallas, candidate_method,
-                               iterations)
+                               iterations, early_stop)
     # warmup (compile + first-frame bootstrap)
     for i in range(warmup):
         out = pipe.feed_scan(float(times[i]), scans[i])
@@ -83,6 +85,8 @@ def main():
                     help="stage-1 correspondence candidate method")
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable the fused Pallas NN kernel (XLA fallback)")
+    ap.add_argument("--no-early-stop", action="store_true",
+                    help="run all --iters iterations (decomposition ladder)")
     args = ap.parse_args()
 
     if args.cpu_baseline:
@@ -96,7 +100,7 @@ def main():
 
     fps = run(n_frames=args.frames or 23, warmup=3, use_pallas=not args.no_pallas,
               candidate_method=args.method, iterations=args.iters,
-              particles=args.particles)
+              particles=args.particles, early_stop=not args.no_early_stop)
     print(json.dumps({
         "metric": "lidar_frames_per_sec_per_chip_64_particles",
         "value": round(fps, 3),
