@@ -186,8 +186,7 @@ def _predict_pose(cfg: PipelineConfig, state: OdometryState, time: jax.Array):
     return geo.transform_compose(state.pose_r, state.pose_t, ri, ti)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def bootstrap_frame(cfg: PipelineConfig, state: OdometryState, frame: FrameInput):
+def _bootstrap_impl(cfg: PipelineConfig, state: OdometryState, frame: FrameInput):
     """First frame: seed the map at the initial guess, no alignment
     (ref: OdometryPipeline.cpp:583-591)."""
     cropped, _, _ = _preprocess(cfg, state, frame)
@@ -219,8 +218,7 @@ def bootstrap_frame(cfg: PipelineConfig, state: OdometryState, frame: FrameInput
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
-def odometry_step(
+def _odometry_step_impl(
     cfg: PipelineConfig, state: OdometryState, frame: FrameInput, mesh=None
 ) -> tuple[OdometryState, FrameOutput]:
     """One LiDAR frame through the full pipeline (SURVEY.md §3.3).
@@ -396,6 +394,51 @@ def odometry_step(
     return new_state, out
 
 
+# public jitted entry points (FrameInput pytree arguments)
+bootstrap_frame = functools.partial(jax.jit, static_argnames=("cfg",))(_bootstrap_impl)
+odometry_step = functools.partial(jax.jit, static_argnames=("cfg", "mesh"))(
+    _odometry_step_impl
+)
+
+
+def _unpack_frame(cfg: PipelineConfig, scan_buf: jax.Array, imu_buf: jax.Array,
+                  meta: jax.Array) -> FrameInput:
+    """Rebuild a FrameInput from the packed host buffers (see
+    `LIOPipeline._pack_frame`): scan_buf [cap,4] = xyz + per-point time,
+    imu_buf [W,7] = dt + acc + gyro, meta [3] f64 = (stamp, n_points, n_imu).
+    Validity masks are prefix masks reconstructed from the counts."""
+    dtype = jnp.dtype(cfg.dtype)
+    cap = scan_buf.shape[0]
+    w = imu_buf.shape[0]
+    n_pts = meta[1].astype(jnp.int32)
+    n_imu = meta[2].astype(jnp.int32)
+    return FrameInput(
+        points=scan_buf[:, :3],
+        valid=jnp.arange(cap, dtype=jnp.int32) < n_pts,
+        timestamps=scan_buf[:, 3],
+        time=meta[0].astype(dtype),
+        imu=imu_mod.IMUSample(imu_buf[:, 0], imu_buf[:, 1:4], imu_buf[:, 4:7]),
+        imu_valid=jnp.arange(w, dtype=jnp.int32) < n_imu,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bootstrap_packed(cfg: PipelineConfig, state: OdometryState,
+                     scan_buf: jax.Array, imu_buf: jax.Array, meta: jax.Array):
+    return _bootstrap_impl(cfg, state, _unpack_frame(cfg, scan_buf, imu_buf, meta))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_step_packed(cfg: PipelineConfig, state: OdometryState,
+                         scan_buf: jax.Array, imu_buf: jax.Array, meta: jax.Array):
+    """`odometry_step` over packed buffers: the host driver ships THREE
+    arrays per frame instead of the 8-leaf FrameInput pytree. Each jit
+    argument is a separate host->device transfer, and on a remote-tunnel
+    device every transfer pays dispatch latency — packing recovers most of
+    the ~9 ms/frame the 8 transfers cost at bench shapes."""
+    return _odometry_step_impl(cfg, state, _unpack_frame(cfg, scan_buf, imu_buf, meta))
+
+
 @dataclasses.dataclass
 class LIOPipeline:
     """Host driver: sensor feeds, IMU<->LiDAR sync, frame staging.
@@ -468,7 +511,12 @@ class LIOPipeline:
         del samples[:n_used]
         return out
 
-    def _stage_frame(self, t: float, points: np.ndarray, timestamps) -> FrameInput:
+    def _pack_frame(self, t: float, points: np.ndarray, timestamps):
+        """Stage one frame into the packed host buffers shipped to the
+        device: scan_buf [cap,4] (xyz + per-point time), imu_buf [W,7]
+        (dt + acc + gyro), meta [3] f64 (stamp, n_points, n_imu). Both
+        staging paths produce prefix-valid rows, so validity travels as the
+        counts in `meta` instead of two boolean arrays."""
         cap = self.cfg.preprocess.raw_capacity
         # lidar -> IMU extrinsic compensation at ingest
         # (ref: OdometryPipeline.cpp:349 transformPointCloud by T_lidar_imu)
@@ -476,41 +524,38 @@ class LIOPipeline:
         t_ext = np.asarray(self.cfg.lio.extrinsic_t, np.float32)
         if not (np.allclose(r_ext, np.eye(3)) and np.allclose(t_ext, 0.0)):
             points = np.asarray(points, np.float32) @ r_ext.T + t_ext
+        scan_buf = np.zeros((cap, 4), self.cfg.np_dtype)
         if timestamps is None:
             # native one-pass crop+pad (timestamp path must keep point order
             # aligned with the timestamps, so it stays on the plain pad path)
             from svnicp_tpu.io import native
 
-            pts, valid, _ = native.stage_scan(
+            pts, _, n = native.stage_scan(
                 points, self.cfg.preprocess.min_range,
                 self.cfg.preprocess.max_range, cap,
             )
-            pts = pts.astype(self.cfg.np_dtype, copy=False)
-            ts = np.zeros(cap, self.cfg.np_dtype)
+            n = min(int(n), cap)
+            scan_buf[:, :3] = pts
         else:
-            nraw = min(len(points), cap)
-            pts = np.zeros((cap, 3), self.cfg.np_dtype)
-            pts[:nraw] = points[:nraw]
-            valid = np.zeros(cap, bool)
-            valid[:nraw] = True
-            ts = np.zeros(cap, self.cfg.np_dtype)
-            ts[:nraw] = np.asarray(timestamps[:nraw])
+            n = min(len(points), cap)
+            scan_buf[:n, :3] = points[:n]
+            scan_buf[:n, 3] = np.asarray(timestamps[:n])
 
         w = self.imu_window
         triples = self._take_imu_window(t)[-w:]
-        dts = np.zeros(w, self.cfg.np_dtype)
-        accs = np.zeros((w, 3), self.cfg.np_dtype)
-        gyrs = np.zeros((w, 3), self.cfg.np_dtype)
-        iv = np.zeros(w, bool)
+        imu_buf = np.zeros((w, 7), self.cfg.np_dtype)
         for i, (dt, a, g) in enumerate(triples):
-            dts[i], accs[i], gyrs[i], iv[i] = dt, a, g, True
+            imu_buf[i, 0] = dt
+            imu_buf[i, 1:4] = a
+            imu_buf[i, 4:7] = g
+        meta = np.array([t, n, len(triples)], np.float64)
+        return scan_buf, imu_buf, meta
 
-        return FrameInput(
-            points=jnp.asarray(pts), valid=jnp.asarray(valid), timestamps=jnp.asarray(ts),
-            time=jnp.asarray(t, self.cfg.np_dtype),
-            imu=imu_mod.IMUSample(jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs)),
-            imu_valid=jnp.asarray(iv),
-        )
+    def _stage_frame(self, t: float, points: np.ndarray, timestamps) -> FrameInput:
+        """FrameInput form of `_pack_frame` (tests / direct step calls)."""
+        scan_buf, imu_buf, meta = self._pack_frame(t, points, timestamps)
+        return _unpack_frame(self.cfg, jnp.asarray(scan_buf), jnp.asarray(imu_buf),
+                             jnp.asarray(meta))
 
     def feed_scan(self, t: float, points: np.ndarray, timestamps=None) -> FrameOutput | None:
         """Process one LiDAR scan; returns the frame output (or None when the
@@ -519,11 +564,13 @@ class LIOPipeline:
             t - self._last_frame_time < self.cfg.lio.frame_gap_seconds
         ):
             return None
-        frame = self._stage_frame(t, points, timestamps)
+        scan_buf, imu_buf, meta = self._pack_frame(t, points, timestamps)
         if self._frames == 0:
-            self.state, out = bootstrap_frame(self.cfg, self.state, frame)
+            self.state, out = bootstrap_packed(self.cfg, self.state,
+                                               scan_buf, imu_buf, meta)
         else:
-            self.state, out = odometry_step(self.cfg, self.state, frame)
+            self.state, out = odometry_step_packed(self.cfg, self.state,
+                                                   scan_buf, imu_buf, meta)
         self._frames += 1
         self._last_frame_time = t
         self.outputs.append(out)
