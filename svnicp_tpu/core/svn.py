@@ -203,6 +203,25 @@ def correspondence_features(source: jax.Array, cand_pts: jax.Array,
     return feat.reshape(bsz * k, 12), bias
 
 
+def _pick_point_tile(ptile: int, bsz: int, k: int) -> int:
+    """Largest point tile whose fused-moments working set fits scoped VMEM.
+
+    The dominant VMEM residents per (particle-tile x point-tile) block are
+    the score/one-hot pair (2*pt*bt*k f32) plus the double-buffered feat
+    (12*bt*k) and candidate/bias (4*bt*k) inputs; the hardware scoped-vmem
+    limit is 16 MB. The 11 MB budget leaves headroom for the smaller
+    intermediates (empirically the bench shape pt=64/bt=128/k=128 estimates
+    10.5 MB and compiles at ~15 MB actual; pt=30/bt=256 estimated 12 MB and
+    OOMed at 17.8 MB — the subt-mrs operating point this guards)."""
+    for bt in (256, 128, 64):
+        if bsz % bt:
+            continue
+        est = 4 * (2 * ptile * bt * k + 2 * 12 * bt * k + 2 * 4 * bt * k)
+        if est <= 11 * 1024 * 1024:
+            return bt
+    return 64 if bsz % 64 == 0 else bsz
+
+
 def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
                    feat, bias, r0, t0, state):
     """One SVN epoch: correspondences -> J/H/b -> Stein coupling -> update."""
@@ -228,8 +247,7 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
         # 128-multiple for very large ensembles)
         ptile = p if p <= 128 else next(
             (d for d in (256, 128) if p % d == 0), p)
-        btile_pref = (128,) if ptile * k >= 64 * 128 else (256, 128)
-        btile = next((d for d in btile_pref if bsz % d == 0), bsz)
+        btile = _pick_point_tile(ptile, bsz, k)
         hess, b = nn_pallas.fused_moments(
             params, feat, bias, cand_pts, source, src_valid, cfg.max_dist,
             particle_tile=ptile, point_tile=btile,
