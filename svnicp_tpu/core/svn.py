@@ -208,11 +208,12 @@ def _pick_point_tile(ptile: int, bsz: int, k: int) -> int:
 
     The dominant VMEM residents per (particle-tile x point-tile) block are
     the score/one-hot pair (2*pt*bt*k f32) plus the double-buffered feat
-    (12*bt*k) and candidate/bias (4*bt*k) inputs; the hardware scoped-vmem
-    limit is 16 MB. The 11 MB budget leaves headroom for the smaller
-    intermediates (empirically the bench shape pt=64/bt=128/k=128 estimates
-    10.5 MB and compiles at ~15 MB actual; pt=30/bt=256 estimated 12 MB and
-    OOMed at 17.8 MB — the subt-mrs operating point this guards)."""
+    (12*bt*k) and candidate/bias (4*bt*k) inputs. The kernel requests a
+    64 MB scoped-vmem limit (v5e has 128 MB physical VMEM) so estimate
+    drift cannot OOM, but SMALLER tiles pipeline better: bt=256 at the
+    bench shape (pt=64, k=128) measured 8.8 fps vs 12.8 fps with bt=128
+    (100 fixed iterations), so the 11 MB budget is a deliberate tile cap,
+    not a hardware ceiling."""
     for bt in (256, 128, 64):
         if bsz % bt:
             continue

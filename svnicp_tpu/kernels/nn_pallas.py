@@ -247,6 +247,11 @@ def fused_moments(
         out_specs=pl.BlockSpec((1, 32, particle_tile), lambda i, j: (j, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_j, 32, p), jnp.float32),
+        # The score/one-hot chain keeps ~3 live [pt,bt,k] f32 buffers, so
+        # useful tiles blow the 16 MB scoped-vmem default (pt=64/bt=128/k=128
+        # measured 16.09 MB). v5e has 128 MB physical VMEM — raise the scope
+        # and keep DMA headroom; svn._pick_point_tile budgets against this.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(md, params, feat_t, bias, cand_t, src_t, vmask)
 

@@ -83,6 +83,36 @@ def test_fused_moments_matches_xla_assembly(rng):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_fused_moments_padding_independence(rng):
+    """K-padding with invalid (+inf bias) slots must not change H/b (the
+    gated-pair damping depends only on real pairs, not pad slots)."""
+    from svnicp_tpu.core import residuals  # noqa: F401 (parity w/ sibling test)
+
+    p, b = 8, 64
+    source = jnp.asarray(rng.normal(size=(b, 3)).astype(np.float32) * 5)
+    src_valid = jnp.asarray(rng.random(b) > 0.2)
+    cand = jnp.asarray(rng.normal(size=(b, 128, 3)).astype(np.float32) * 5)
+    cvalid = jnp.asarray(rng.random((b, 128)) > 0.1)
+    xi = jnp.asarray(rng.normal(size=(p, 6)).astype(np.float32) * 0.1)
+    r = geo.bso3_exp(xi[:, 3:])
+    params = jnp.concatenate([r.reshape(p, 9), xi[:, :3]], axis=-1)
+    max_dist = 2.8
+
+    feat1, bias1 = svn.correspondence_features(source, cand, cvalid)
+    h1, b1 = nn_pallas.fused_moments(
+        params, feat1, bias1, cand, source, src_valid, max_dist,
+        particle_tile=8, point_tile=16, interpret=True,
+    )
+    cand_p, cvalid_p = nn_pallas.pad_candidates(cand, cvalid, multiple=256)
+    feat2, bias2 = svn.correspondence_features(source, cand_p, cvalid_p)
+    h2, b2 = nn_pallas.fused_moments(
+        params, feat2, bias2, cand_p, source, src_valid, max_dist,
+        particle_tile=8, point_tile=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-5)
+
+
 def test_align_with_pallas_matches_xla(rng):
     """End-to-end: align with use_pallas (interpret) vs the XLA path."""
     import dataclasses
