@@ -86,11 +86,52 @@ def solve_newton(h: jax.Array, b: jax.Array) -> jax.Array:
     H is SPD by construction (+jitter); Cholesky is both faster and more
     f32-robust on TPU than LU (ref uses torch::linalg::solve, SVNICP.cpp:162).
     """
-    chol = jax.scipy.linalg.cho_factor(h, lower=True)
-    return jax.scipy.linalg.cho_solve(chol, b)
+    return cholesky_solve6(h, b)
+
+
+def cholesky_solve6(h: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched SPD 6x6 solve, fully unrolled into elementwise ops.
+
+    `jax.scipy.linalg.cho_factor`/`cho_solve` lower batched small Cholesky
+    to sequential XLA loops on TPU — a serial bottleneck inside the SVN
+    iteration (runs every epoch on [P,6,6]). Unrolling the 6x6 factorization
+    and the two triangular substitutions into ~120 scalar expressions makes
+    every step a [batch]-shaped VPU op that XLA fuses into a handful of
+    kernels. Same math as Cholesky, so NaN on non-SPD input (upstream adds
+    the reference's 1e-6 jitter, SVNICP.cpp:153). Supports any leading
+    batch shape, with numpy broadcasting between h [...,6,6] and b [...,6].
+    """
+    a = [[h[..., i, j] for j in range(6)] for i in range(6)]
+    l = [[None] * 6 for _ in range(6)]
+    linv = [None] * 6
+    for j in range(6):
+        s = a[j][j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        l[j][j] = jnp.sqrt(s)
+        linv[j] = 1.0 / l[j][j]
+        for i in range(j + 1, 6):
+            s = a[i][j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            l[i][j] = s * linv[j]
+    y = [None] * 6
+    for i in range(6):
+        s = b[..., i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s * linv[i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - l[k][i] * x[k]
+        x[i] = s * linv[i]
+    return jnp.stack(x, axis=-1)
 
 
 # Ensemble versions: vmap over the leading particle axis of (transformed,
-# pair_valid, r_total); source/point_valid are shared.
+# pair_valid, r_total); source/point_valid are shared. The solve is natively
+# batched (elementwise over the leading axes), no vmap needed.
 ensemble_gauss_newton = jax.vmap(gauss_newton_system, in_axes=(None, 0, 0, 0, None, 0, None))
-ensemble_solve = jax.vmap(solve_newton)
+ensemble_solve = cholesky_solve6

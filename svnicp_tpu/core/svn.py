@@ -138,7 +138,7 @@ def svgd_precond_grad(
     bw = median_bandwidth(x_full)
     kernel, diff = rbf_kernel_block(x_rows, x_full, bw)
     grad_k = (2.0 / bw) * jnp.einsum("ijd,ij->id", diff, kernel)
-    repulsion = jnp.linalg.solve(h_mean, grad_k.T).T          # H^-1 grad
+    repulsion = residuals.cholesky_solve6(h_mean, grad_k)     # H^-1 grad
     drive = jnp.matmul(kernel, neg_newton_full, precision=jax.lax.Precision.HIGHEST)
     return (drive + repulsion) / jnp.sum(kernel, axis=1, keepdims=True)
 
@@ -162,7 +162,7 @@ def svn_full_update(
         jnp.matmul(kernel, neg_b_full, precision=jax.lax.Precision.HIGHEST)
         + jnp.sum(grad_k, axis=1)
     ) / p
-    return lr * jnp.linalg.solve(h_bar, drive[..., None])[..., 0]
+    return lr * residuals.cholesky_solve6(h_bar, drive)
 
 
 def _pose_update(r, t, stein_grad):

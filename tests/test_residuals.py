@@ -70,3 +70,18 @@ def test_solver_matches_lstsq(rng):
     b = rng.normal(size=6).astype(np.float32)
     x = residuals.solve_newton(jnp.asarray(h), jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(h, b), rtol=1e-3, atol=1e-4)
+
+
+def test_cholesky_solve6_batched_and_broadcast(rng):
+    """Unrolled batched 6x6 solve vs numpy, incl. [6,6] x [P,6] broadcast."""
+    a = rng.normal(size=(16, 6, 6))
+    h = (a @ np.swapaxes(a, 1, 2) + 2 * np.eye(6)).astype(np.float32)
+    b = rng.normal(size=(16, 6)).astype(np.float32)
+    x = residuals.cholesky_solve6(jnp.asarray(h), jnp.asarray(b))
+    ref = np.stack([np.linalg.solve(h[i], b[i]) for i in range(16)])
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-3, atol=1e-4)
+
+    h1 = h[0]
+    xb = residuals.cholesky_solve6(jnp.asarray(h1), jnp.asarray(b))
+    refb = np.stack([np.linalg.solve(h1, b[i]) for i in range(16)])
+    np.testing.assert_allclose(np.asarray(xb), refb, rtol=1e-3, atol=1e-4)
