@@ -135,14 +135,17 @@ def downsample_uniform(
     first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     keep = first & (skey != INVALID_KEY)
 
-    # compact: selected first in hash order (unbiased capacity truncation)
-    rank = jnp.where(keep, hash32(skey), jnp.iinfo(jnp.int32).max)
-    _, cx, cy, cz, ckeep = jax.lax.sort(
-        (rank, sx, sy, sz, keep), num_keys=1, is_stable=True,
+    # compact: selected first in hash order (unbiased capacity truncation).
+    # Selected ranks are forced even so validity falls out of the sorted
+    # rank's parity (INT32_MAX is odd) — no boolean payload rides the sort.
+    rank = jnp.where(keep, hash32(skey) & -2, jnp.iinfo(jnp.int32).max)
+    srank, cx, cy, cz = jax.lax.sort(
+        (rank, sx, sy, sz), num_keys=1, is_stable=True,
     )
     c = capacity
+    ckeep = (srank[:c] & 1) == 0
     pts = jnp.stack([cx[:c], cy[:c], cz[:c]], axis=-1)
-    return PaddedCloud(jnp.where(ckeep[:c, None], pts, 0.0), ckeep[:c])
+    return PaddedCloud(jnp.where(ckeep[:, None], pts, 0.0), ckeep)
 
 
 @jax.jit

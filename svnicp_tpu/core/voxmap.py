@@ -17,8 +17,9 @@ Semantics preserved from the reference:
   (GetMap(pose,max_range), :51-61).
 
 Divergence (documented): global capacity is fixed; when a frame would
-overflow it, the newest points are dropped (the reference grows without
-bound). `insert` reports the drop count so callers can observe pressure.
+overflow it, a spatially-uniform subset of rows (chosen by a per-row hash
+threshold) is shed to fit (the reference grows without bound). `insert`
+reports the drop count so callers can observe pressure.
 """
 
 from __future__ import annotations
@@ -104,44 +105,45 @@ def insert(
     rank = jnp.arange(skey.shape[0], dtype=jnp.int32) - start
     keep = (skey != INVALID_KEY) & (rank < max_points_per_voxel)
 
-    # whole-voxel eviction by the first point's distance (reference semantics)
-    first = jnp.stack([sx[start], sy[start], sz[start]], axis=-1)
-    d2_first = jnp.sum((first - pose_t[None, :]) ** 2, axis=-1)
-    keep &= d2_first <= max_range * max_range
+    # whole-voxel eviction by the first point's distance (reference
+    # semantics); one elementwise distance pass + one gather instead of a
+    # [N,3] gather of the first points
+    d2 = (sx - pose_t[0]) ** 2 + (sy - pose_t[1]) ** 2 + (sz - pose_t[2]) ** 2
+    keep &= d2[start] <= max_range * max_range
 
     kept_total = jnp.sum(keep)
-    masked_key = jnp.where(keep, skey, INVALID_KEY)
 
-    def no_overflow(_):
+    def compact(masked_key):
         # kept rows already sit in key order: one stable sort on the masked
         # key both compacts kept rows to the front and keeps the key-sorted
-        # invariant (invalid keys sort to the end) — replaces the hash-
-        # compaction sort + re-sort pair of the overflow path.
-        fkey, fx, fy, fz, fkeep = jax.lax.sort(
-            (masked_key, sx, sy, sz, keep), num_keys=1, is_stable=True,
+        # invariant (invalid keys sort to the end). Validity falls out of the
+        # key (packed keys use 30 bits, so never equal INVALID_KEY) — no
+        # boolean payload rides the sort.
+        fkey, fx, fy, fz = jax.lax.sort(
+            (masked_key, sx, sy, sz), num_keys=1, is_stable=True,
         )
-        pts = jnp.where(fkeep[:c, None],
+        fkeep = fkey[:c] != INVALID_KEY
+        pts = jnp.where(fkeep[:, None],
                         jnp.stack([fx[:c], fy[:c], fz[:c]], axis=-1), 0.0)
-        return VoxelMap(pts, fkey[:c], fkeep[:c]), jnp.zeros((), jnp.int32)
+        return VoxelMap(pts, fkey[:c], fkeep)
+
+    def no_overflow(_):
+        return compact(jnp.where(keep, skey, INVALID_KEY)), jnp.zeros((), jnp.int32)
 
     def overflow(_):
-        # compact to capacity: kept slots first, ordered by key hash so an
-        # overflowing frame sheds a spatially-uniform subset (not one region)
+        # shed a spatially-uniform subset of rows to fit capacity: rank rows
+        # by a per-row avalanche hash and keep those below the c-th smallest
+        # value. Finding the threshold is a single-operand sort — far cheaper
+        # than carrying all payloads through a hash-ordered sort + re-sort.
+        # Hash ties at the threshold may keep a few extra rows; the compact
+        # sort truncates those at the key-order tail (drop count unaffected).
         from svnicp_tpu.core.pointcloud import hash32
 
-        hrank = jnp.where(keep, hash32(skey), jnp.iinfo(jnp.int32).max)
-        _, hkey, hx, hy, hz, hkeep = jax.lax.sort(
-            (hrank, skey, sx, sy, sz, keep), num_keys=1, is_stable=True,
-        )
-        out_keep = hkeep[:c]
-        out_key = jnp.where(out_keep, hkey[:c], INVALID_KEY)
-        # restore global key-sorted invariant (invalid keys sort to the end)
-        fkey, fx, fy, fz, fkeep = jax.lax.sort(
-            (out_key, hx[:c], hy[:c], hz[:c], out_keep),
-            num_keys=1, is_stable=True,
-        )
-        pts = jnp.where(fkeep[:, None], jnp.stack([fx, fy, fz], axis=-1), 0.0)
-        return VoxelMap(pts, fkey, fkeep), kept_total - c
+        shed = hash32(skey ^ (rank.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)).astype(jnp.int32))
+        shed = jnp.where(keep, shed, jnp.iinfo(jnp.int32).max)
+        thresh = jax.lax.sort(shed)[c - 1]
+        keep2 = keep & (shed <= thresh)
+        return compact(jnp.where(keep2, skey, INVALID_KEY)), kept_total - c
 
     return jax.lax.cond(kept_total <= c, no_overflow, overflow, None)
 
@@ -164,25 +166,29 @@ def query_radius(
     from svnicp_tpu.core.pointcloud import hash32
 
     start = _first_point_per_run(vmap_state.key)
-    d2_first = jnp.sum((vmap_state.points[start] - center[None, :]) ** 2, axis=-1)
-    in_radius = vmap_state.valid & (d2_first <= radius * radius)
+    d2 = jnp.sum((vmap_state.points - center[None, :]) ** 2, axis=-1)
+    in_radius = vmap_state.valid & (d2[start] <= radius * radius)
     any_hit = jnp.any(in_radius)
     selected = jnp.where(any_hit, in_radius, vmap_state.valid)
 
     # compact selected rows first in hash order (spatially-uniform capacity
     # truncation); variadic sort carries the coordinates, avoiding a random
-    # [C,3] gather
-    rank = jnp.where(selected, hash32(vmap_state.key), jnp.iinfo(jnp.int32).max)
-    _, qx, qy, qz, keep = jax.lax.sort(
+    # [C,3] gather. Selected ranks are forced even (hash & -2) so validity
+    # falls out of the sorted rank's parity (INT32_MAX is odd) — no boolean
+    # payload rides the sort.
+    rank = jnp.where(selected, hash32(vmap_state.key) & -2,
+                     jnp.iinfo(jnp.int32).max)
+    srank, qx, qy, qz = jax.lax.sort(
         (rank, vmap_state.points[:, 0], vmap_state.points[:, 1],
-         vmap_state.points[:, 2], selected),
+         vmap_state.points[:, 2]),
         num_keys=1, is_stable=True,
     )
     tc = target_capacity
-    pts = jnp.where(keep[:tc, None],
+    keep = (srank[:tc] & 1) == 0
+    pts = jnp.where(keep[:, None],
                     jnp.stack([qx[:tc], qy[:tc], qz[:tc]], axis=-1), 0.0)
     overflow = jnp.maximum(jnp.sum(selected) - target_capacity, 0)
-    return PaddedCloud(pts, keep[:tc]), overflow
+    return PaddedCloud(pts, keep), overflow
 
 
 def get_all(vmap_state: VoxelMap) -> PaddedCloud:
