@@ -217,7 +217,7 @@ def _pick_point_tile(ptile: int, bsz: int, k: int) -> int:
     for bt in (256, 128, 64):
         if bsz % bt:
             continue
-        est = 4 * (2 * ptile * bt * k + 2 * 12 * bt * k + 2 * 4 * bt * k)
+        est = 4 * (2 * ptile * bt * k + 2 * 13 * bt * k + 2 * 4 * bt * k)
         if est <= 11 * 1024 * 1024:
             return bt
     return 64 if bsz % 64 == 0 else bsz

@@ -15,8 +15,10 @@ only the inputs once and the outputs.
 
 Layout contract (TPU tiling: the LAST axis is the 128-wide lane dimension,
 so small feature axes must sit on sublanes to avoid 10-40x pad blowups):
-- feat is passed TRANSPOSED as [12, B*K];
-- candidates are passed as [B, 3, K];
+- feat is passed TRANSPOSED as [12, B*K] ([13, B*K] with the bias folded in
+  for `fused_moments`);
+- candidates are passed as [B, 3, K] ([B, 4, K] with an all-ones hit-count
+  channel for `fused_moments`);
 - the matched output comes back as [3, P, B] (transpose once outside).
 K must be a multiple of 128 (pad with bias=+inf slots via `pad_candidates`).
 The jnp oracle used by the tests is the exact math the XLA path runs.
@@ -110,7 +112,7 @@ def fused_nn_match(
     return jnp.transpose(matched_t, (1, 2, 0)), best
 
 
-def _moments_kernel(max_dist_ref, params_ref, feat_t_ref, bias_ref, cand_t_ref,
+def _moments_kernel(max_dist_ref, params_ref, feat_t_ref, cand_t_ref,
                     src_t_ref, valid_ref, mom_ref):
     # valid_ref: [1,Bt] float (1.0 = real source point)
     """Correspondence + robust-weighted Gauss-Newton moments, fully fused.
@@ -120,26 +122,34 @@ def _moments_kernel(max_dist_ref, params_ref, feat_t_ref, bias_ref, cand_t_ref,
     moments that assemble H and b (see core/residuals.py block identity).
     Output layout mom[n_j, 32, P] (rows 19.. are pad to satisfy TPU
     tiling): XLA sums over n_j and assembles the [P,6,6]/[P,6] system.
+
+    VPU economy (measured; each pass over the [Pt,Bt,K] tensor is the cost
+    unit): the candidate bias rides the score matmul as a 13th feature (no
+    `bias - 2*cross` pass), and tie normalization rides the candidate
+    matmul as a 4th all-ones channel whose output is the hit count (no
+    [Pt,Bt,K]-wide sum + divide) — the normalizing divide happens on the
+    [Pt,Bt] count instead.
     """
     pt = params_ref.shape[0]
-    bt, k = bias_ref.shape
+    bt = cand_t_ref.shape[0]
+    k = cand_t_ref.shape[2]
     max_dist = max_dist_ref[0]
 
-    cross = jax.lax.dot_general(
+    score = jax.lax.dot_general(
         params_ref[:], feat_t_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    score = (bias_ref[:].reshape(1, bt * k) - 2.0 * cross).reshape(pt, bt, k)
+    ).reshape(pt, bt, k)
     best = jnp.min(score, axis=-1)                            # [Pt,Bt]
     hit = (score == best[..., None]).astype(jnp.float32)
-    hit = hit / jnp.maximum(jnp.sum(hit, axis=-1, keepdims=True), 1.0)
-    matched = jax.lax.dot_general(
+    matched4 = jax.lax.dot_general(
         jnp.swapaxes(hit, 0, 1), cand_t_ref[:],
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )                                                          # [Bt,Pt,3]
-    matched = jnp.transpose(matched, (1, 2, 0))                # [Pt,3,Bt]
+    )                                                          # [Bt,Pt,4]
+    matched4 = jnp.transpose(matched4, (1, 2, 0))              # [Pt,4,Bt]
+    inv = 1.0 / jnp.maximum(matched4[:, 3, :], 1.0)            # [Pt,Bt]
+    matched = matched4[:, :3, :] * inv[:, None, :]             # [Pt,3,Bt]
 
     # transformed[p,i,:] = sum_j R_p[i,j] s[j,:] + t_p[i], unrolled per
     # component (Mosaic rejects the [Pt,9]->[Pt*3,3] shape cast a batched
@@ -218,8 +228,16 @@ def fused_moments(
     # the moments output puts particles on the lane axis
     assert particle_tile == p or particle_tile % 128 == 0, particle_tile
 
-    feat_t = feat.T
-    cand_t = jnp.swapaxes(cand_pts, 1, 2)
+    # bias folded into the score matmul as a 13th feature (score =
+    # <[vec(R),t,1],[-2 feat, bias]>); hit-count normalization folded into
+    # the candidate matmul as a 4th all-ones channel — see _moments_kernel.
+    # These are loop-invariant (XLA hoists them out of the align while_loop).
+    feat13_t = jnp.concatenate([-2.0 * feat, bias.reshape(b * k, 1)], axis=1).T
+    params13 = jnp.concatenate(
+        [params, jnp.ones((p, 1), params.dtype)], axis=-1)
+    cand4_t = jnp.concatenate(
+        [jnp.swapaxes(cand_pts, 1, 2), jnp.ones((b, 1, k), cand_pts.dtype)],
+        axis=1)                                                # [B,4,K]
     src_t = source.T                                           # [3,B]
     vmask = src_valid.astype(jnp.float32).reshape(1, b)
     md = jnp.asarray([max_dist], jnp.float32)
@@ -231,13 +249,11 @@ def fused_moments(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((particle_tile, 12), lambda i, j: (i, 0),
+            pl.BlockSpec((particle_tile, 13), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, point_tile * k), lambda i, j: (0, j),
+            pl.BlockSpec((13, point_tile * k), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((point_tile, k), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((point_tile, 3, k), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((point_tile, 4, k), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, point_tile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -253,7 +269,7 @@ def fused_moments(
         # and keep DMA headroom; svn._pick_point_tile budgets against this.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(md, params, feat_t, bias, cand_t, src_t, vmask)
+    )(md, params13, feat13_t, cand4_t, src_t, vmask)
 
     m = jnp.sum(moments, axis=0).T                             # [P,32]
     sw, m1 = m[:, 0], m[:, 1:4]
