@@ -30,8 +30,13 @@ class SteinICPConfig:
     fixed-shape capacities the TPU build needs (padded cloud sizes).
     """
 
-    # algorithm family: "svn" (Gauss-Newton + Stein) or "svgd" (1st order)
+    # algorithm family: "svn" (Gauss-Newton + Stein), "svgd" (1st order),
+    # or "svd" (classic single-/multi-start closed-form Kabsch ICP)
     method: str = "svn"
+    # residual model: "point_to_point" (reference behavior) or
+    # "point_to_plane" (k-NN plane fit from the stage-1 candidate sets;
+    # north-star addition — the reference is point-to-point only)
+    residual: str = "point_to_point"
     particle_count: int = 32
     iterations: int = 50
     lr: float = 1.0
@@ -60,8 +65,11 @@ class SteinICPConfig:
     init_ub: tuple[float, ...] = (0.3, 0.2, 0.1, 0.004, 0.004, 0.012)
 
     def __post_init__(self):
-        if self.method not in ("svn", "svgd"):
-            raise ValueError(f"method must be 'svn' or 'svgd', got {self.method!r}")
+        if self.method not in ("svn", "svgd", "svd"):
+            raise ValueError(
+                f"method must be 'svn', 'svgd' or 'svd', got {self.method!r}")
+        if self.residual not in ("point_to_point", "point_to_plane"):
+            raise ValueError(f"unknown residual {self.residual!r}")
         if self.optimizer.lower() not in ("adam", "rmsprop", "sgd", "adagrad"):
             raise ValueError(f"unknown optimizer {self.optimizer!r}")
         if self.candidate_method not in ("bucketed", "topk", "voxel"):

@@ -178,6 +178,28 @@ def transform_points(R, t, pts):
     return jnp.einsum("ij,nj->ni", R, pts.reshape(-1, 3)).reshape(pts.shape) + t
 
 
+def kabsch(src: jax.Array, tgt: jax.Array, w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Weighted closed-form rigid alignment (Kabsch / Umeyama).
+
+    Returns (R [3,3], t [3]) minimizing sum_b w_b |R s_b + t - q_b|^2 via the
+    SVD of the weighted cross-covariance, with the det-correction that keeps
+    R a proper rotation. North-star addition (BASELINE.json: "SVD/Gauss-
+    Newton pose updates on SE(3)"); the reference has no closed-form path.
+    Padded/gated pairs enter with w=0.
+    """
+    sw = jnp.maximum(jnp.sum(w), 1e-12)
+    mu_s = jnp.einsum("b,bi->i", w, src) / sw
+    mu_t = jnp.einsum("b,bi->i", w, tgt) / sw
+    cross = jnp.einsum("b,bi,bj->ij", w, tgt - mu_t, src - mu_s,
+                       precision=jax.lax.Precision.HIGHEST)
+    u, _, vt = jnp.linalg.svd(cross)
+    d = jnp.linalg.det(jnp.matmul(u, vt))
+    corr = jnp.diag(jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d]))
+    r = jnp.matmul(u, jnp.matmul(corr, vt))
+    t = mu_t - jnp.matmul(r, mu_s)
+    return r, t
+
+
 def interpolate_pose(R0, t0, R1, t1, alpha):
     """Geodesic interpolation T0 * exp(alpha * log(T0^-1 T1)) for scalar alpha."""
     Rd, td = transform_compose(*transform_inverse(R0, t0), R1, t1)

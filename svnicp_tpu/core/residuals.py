@@ -80,6 +80,104 @@ def gauss_newton_system(
     return h, b
 
 
+def plane_normals(
+    cand_pts: jax.Array,      # [B,K,3] candidate target points per source point
+    cand_valid: jax.Array,    # [B,K] bool
+) -> tuple[jax.Array, jax.Array]:
+    """Per-source-point local surface normals from the stage-1 candidate sets.
+
+    The K candidates of a source point ARE the local neighborhood of the
+    target surface (ref two-stage pre-pairing, SVGDICP.cpp:176-215), so the
+    smallest-eigenvector of their 3x3 scatter is the classic k-NN plane fit —
+    no extra neighbor search is needed, and the fit is loop-invariant (done
+    once per frame). No reference analogue: the reference is point-to-point
+    only; this powers the point-to-plane residual option.
+
+    Batched closed-form symmetric 3x3 eigen-solve (trigonometric / Smith's
+    method) — `jnp.linalg.eigh` on [B,3,3] lowers to a serial loop on TPU,
+    while this is pure VPU elementwise work.
+
+    Returns (normals [B,3] unit vectors, valid [B] bool). Invalid when fewer
+    than 3 candidates or the neighborhood is degenerate (collinear/isotropic
+    to machine precision).
+    """
+    f32 = cand_pts.dtype
+    w = cand_valid.astype(f32)                          # [B,K]
+    n = jnp.sum(w, axis=-1)                             # [B]
+    n_safe = jnp.maximum(n, 1.0)
+    mean = jnp.sum(cand_pts * w[..., None], axis=1) / n_safe[:, None]
+    d = (cand_pts - mean[:, None, :]) * w[..., None]    # centered, masked
+    cov = jnp.einsum("bki,bkj->bij", d, d, precision=jax.lax.Precision.HIGHEST)
+    cov = cov / n_safe[:, None, None]
+
+    # Smith's trigonometric eigenvalues for symmetric 3x3
+    q = jnp.trace(cov, axis1=-2, axis2=-1) / 3.0        # [B]
+    eye = jnp.eye(3, dtype=f32)
+    a_q = cov - q[:, None, None] * eye
+    p2 = jnp.sum(a_q * a_q, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 0.0))
+    p_safe = jnp.maximum(p, 1e-20)
+    bmat = a_q / p_safe[:, None, None]
+    detb = jnp.linalg.det(bmat)
+    phi = jnp.arccos(jnp.clip(detb / 2.0, -1.0, 1.0)) / 3.0
+    lam_hi = q + 2.0 * p * jnp.cos(phi)                                # largest
+    lam_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)           # smallest
+    lam_mid = 3.0 * q - lam_hi - lam_lo
+
+    # eigenvector of lam_lo: columns of (C - lam_hi I)(C - lam_mid I) span it
+    m = jnp.matmul(cov - lam_hi[:, None, None] * eye,
+                   cov - lam_mid[:, None, None] * eye,
+                   precision=jax.lax.Precision.HIGHEST)
+    col_norm2 = jnp.sum(m * m, axis=1)                  # [B,3] per-column
+    best = jnp.argmax(col_norm2, axis=-1)
+    vec = jnp.take_along_axis(m, best[:, None, None], axis=2)[..., 0]
+    norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    normals = vec / jnp.maximum(norm, 1e-20)
+
+    # planar fit quality: enough points, anisotropic scatter, non-degenerate
+    # eigenvector extraction
+    valid = (n >= 3.0) & (p > 1e-12) & (norm[..., 0] > 1e-12)
+    return normals, valid
+
+
+def gauss_newton_system_plane(
+    source: jax.Array,       # [B,3] source points in the local (scan) frame
+    transformed: jax.Array,  # [B,3] R_total @ source + t_total
+    target: jax.Array,       # [B,3] matched target points
+    normals: jax.Array,      # [B,3] unit surface normals at the target
+    pair_valid: jax.Array,   # [B] bool: gate AND plane-fit AND source validity
+    r_total: jax.Array,      # [3,3] compound rotation R0 @ R
+    max_dist: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Point-to-plane (H [6,6], b [6]) for one particle; vmap over particles.
+
+    Residual r_b = n_bT (T s_b - q_b); with the right-perturbation Jacobian
+    J = R_c [I | -s^] (same frame as the point-to-point system above) the
+    per-point gradient direction is g_b = [R_cT n_b ; s_b x (R_cT n_b)] so
+
+        H = sum w g gT + jitter I,   b = sum (w r) g
+
+    — one [B,6] outer-product contraction, no [B,3,6] Jacobian materialized.
+
+    Divergence from the reference gating quirk (deliberate, documented):
+    the reference's +I damping for gated pairs is a point-to-POINT artifact
+    (w=1, s=0 under zeroed inputs); here gated/invalid pairs simply drop out
+    (w=0). The 1e-6 jitter keeps H SPD.
+    """
+    gate = pair_valid.astype(source.dtype)
+    r = jnp.sum(normals * (transformed - target), axis=-1)   # [B] signed dist
+    w = robust_weight(jnp.abs(r)[:, None], max_dist)[:, 0] * gate
+
+    rtn = jnp.einsum("ji,bj->bi", r_total, normals,
+                     precision=jax.lax.Precision.HIGHEST)    # R_cT n
+    g = jnp.concatenate([rtn, jnp.cross(source, rtn)], axis=-1)   # [B,6]
+    h = jnp.einsum("b,bi,bj->ij", w, g, g,
+                   precision=jax.lax.Precision.HIGHEST)
+    h = h + _JITTER * jnp.eye(6, dtype=source.dtype)
+    b = jnp.einsum("b,bi->i", w * r, g, precision=jax.lax.Precision.HIGHEST)
+    return h, b
+
+
 def solve_newton(h: jax.Array, b: jax.Array) -> jax.Array:
     """Solve H x = b for the [6] Newton direction via Cholesky.
 
@@ -134,4 +232,7 @@ def cholesky_solve6(h: jax.Array, b: jax.Array) -> jax.Array:
 # pair_valid, r_total); source/point_valid are shared. The solve is natively
 # batched (elementwise over the leading axes), no vmap needed.
 ensemble_gauss_newton = jax.vmap(gauss_newton_system, in_axes=(None, 0, 0, 0, None, 0, None))
+ensemble_gauss_newton_plane = jax.vmap(
+    gauss_newton_system_plane, in_axes=(None, 0, 0, None, 0, 0, None)
+)
 ensemble_solve = cholesky_solve6

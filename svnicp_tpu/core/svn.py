@@ -224,8 +224,12 @@ def _pick_point_tile(ptile: int, bsz: int, k: int) -> int:
 
 
 def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
-                   feat, bias, r0, t0, state):
-    """One SVN epoch: correspondences -> J/H/b -> Stein coupling -> update."""
+                   feat, bias, normals, r0, t0, state):
+    """One SVN epoch: correspondences -> J/H/b -> Stein coupling -> update.
+
+    `normals` is None for point-to-point, or a (unit_normals [B,3],
+    plane_valid [B]) pair for the point-to-plane residual option.
+    """
     p = state.r.shape[0]
     bsz, k = cand_pts.shape[:2]
     r_total = jnp.matmul(r0[None], state.r, precision=jax.lax.Precision.HIGHEST)
@@ -238,7 +242,8 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
 
     # 1-NN among candidates via the single-matmul score (see above)
     params = jnp.concatenate([r_total.reshape(p, 9), t_total], axis=-1)  # [P,12]
-    if cfg.use_pallas and k % 128 == 0 and _pallas_ok():
+    if (cfg.use_pallas and normals is None and k % 128 == 0
+            and _pallas_ok()):
         from svnicp_tpu.kernels import nn_pallas
 
         # fully-fused kernel: correspondence + robust weights + GN moments
@@ -266,10 +271,18 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
         )
         # reference quirk: gate compares squared distance against max_dist
         pair_valid = (nn_d2 < cfg.max_dist) & jnp.isfinite(best_score)
-        hess, b = residuals.ensemble_gauss_newton(
-            source, transformed, matched, pair_valid, src_valid, r_total,
-            cfg.max_dist,
-        )
+        if normals is not None:
+            n_vec, n_valid = normals
+            hess, b = residuals.ensemble_gauss_newton_plane(
+                source, transformed, matched, n_vec,
+                pair_valid & (n_valid & src_valid)[None, :], r_total,
+                cfg.max_dist,
+            )
+        else:
+            hess, b = residuals.ensemble_gauss_newton(
+                source, transformed, matched, pair_valid, src_valid, r_total,
+                cfg.max_dist,
+            )
     newton = residuals.ensemble_solve(hess, b)                 # [P,6]
 
     coords = _particle_coords(state.r, state.t)
@@ -307,13 +320,17 @@ def align(
     r_init = geo.bso3_exp(init_particles[:, 3:])
     t_init = init_particles[:, :3]
 
-    if cfg.use_pallas and _pallas_ok():
+    normals = None
+    if cfg.residual == "point_to_plane":
+        normals = residuals.plane_normals(cand_pts, cand_valid)
+    elif cfg.use_pallas and _pallas_ok():
         from svnicp_tpu.kernels import nn_pallas
 
         cand_pts, cand_valid = nn_pallas.pad_candidates(cand_pts, cand_valid)
     feat, bias = correspondence_features(source, cand_pts, cand_valid)
     iteration = functools.partial(
-        _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias, r0, t0
+        _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias,
+        normals, r0, t0
     )
 
     # NOTE(perf, measured on v5e): checking convergence every iteration in
@@ -366,13 +383,17 @@ def align_with_history(
     t_init = init_particles[:, :3]
     p = init_particles.shape[0]
 
-    if cfg.use_pallas and _pallas_ok():
+    normals = None
+    if cfg.residual == "point_to_plane":
+        normals = residuals.plane_normals(cand_pts, cand_valid)
+    elif cfg.use_pallas and _pallas_ok():
         from svnicp_tpu.kernels import nn_pallas
 
         cand_pts, cand_valid = nn_pallas.pad_candidates(cand_pts, cand_valid)
     feat, bias = correspondence_features(source, cand_pts, cand_valid)
     iteration = functools.partial(
-        _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias, r0, t0
+        _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias,
+        normals, r0, t0
     )
 
     def body(state: _LoopState, _):

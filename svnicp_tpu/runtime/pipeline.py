@@ -305,6 +305,13 @@ def _odometry_step_impl(
             cfg.icp, source.points, source.valid, target.points, target.valid,
             guess_r, guess_t, init_particles, rng=mb_key,
         )
+    elif cfg.icp.method == "svd":
+        from svnicp_tpu.core import icp_svd
+
+        result = icp_svd.register(
+            cfg.icp, source.points, source.valid, target.points, target.valid,
+            guess_r, guess_t, init_particles,
+        )
     else:
         result = svn.register(
             cfg.icp, source.points, source.valid, target.points, target.valid,
