@@ -27,17 +27,24 @@ CPU_BASELINE_FPS = 0.0451
 
 def build(n_frames: int, particles: int, use_pallas: bool = False,
           candidate_method: str = "bucketed", iterations: int = 100,
-          early_stop: bool = True):
+          early_stop: bool = True, residual: str = "point_to_point"):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
 
+    # plane operating point: the softer plane Hessian sustains a larger
+    # equilibrium particle spread, so convergence is measured on the drift
+    # of the ensemble mean (see config.convergence_metric); 1e-3 measured
+    # best on ATE *and* iteration count (BASELINE.md accuracy table)
+    plane = residual == "point_to_plane"
     cfg = cfg_mod.PipelineConfig(
         icp=cfg_mod.SteinICPConfig(
             particle_count=particles, iterations=iterations, lr=1.0, max_dist=3.0,
-            knn_count=100, early_stop=early_stop, convergence_threshold=5e-4,
+            knn_count=100, early_stop=early_stop,
+            convergence_threshold=1e-3 if plane else 5e-4,
+            convergence_metric="mean_delta" if plane else "grad_norm",
             source_capacity=4096, target_capacity=65536, use_pallas=use_pallas,
-            candidate_method=candidate_method,
+            candidate_method=candidate_method, residual=residual,
         ),
         map=cfg_mod.MapConfig(voxel_size=1.0, max_points_per_voxel=20,
                               max_range=300.0, capacity=131072),
@@ -56,11 +63,11 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
 
 def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = False,
         candidate_method: str = "bucketed", iterations: int = 100,
-        early_stop: bool = True):
+        early_stop: bool = True, residual: str = "point_to_point"):
     import jax
 
     pipe, times, scans = build(n_frames, particles, use_pallas, candidate_method,
-                               iterations, early_stop)
+                               iterations, early_stop, residual)
     # warmup (compile + first-frame bootstrap)
     for i in range(warmup):
         out = pipe.feed_scan(float(times[i]), scans[i])
@@ -87,6 +94,11 @@ def main():
                     help="disable the fused Pallas NN kernel (XLA fallback)")
     ap.add_argument("--no-early-stop", action="store_true",
                     help="run all --iters iterations (decomposition ladder)")
+    ap.add_argument("--residual", default="point_to_plane",
+                    choices=["point_to_point", "point_to_plane"],
+                    help="ICP residual model; point_to_plane is the default "
+                         "operating point (better ATE and fps, BASELINE.md); "
+                         "point_to_point is the reference-parity row")
     args = ap.parse_args()
 
     if args.cpu_baseline:
@@ -100,7 +112,8 @@ def main():
 
     fps = run(n_frames=args.frames or 23, warmup=3, use_pallas=not args.no_pallas,
               candidate_method=args.method, iterations=args.iters,
-              particles=args.particles, early_stop=not args.no_early_stop)
+              particles=args.particles, early_stop=not args.no_early_stop,
+              residual=args.residual)
     print(json.dumps({
         "metric": "lidar_frames_per_sec_per_chip_64_particles",
         "value": round(fps, 3),

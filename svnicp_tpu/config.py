@@ -52,6 +52,13 @@ class SteinICPConfig:
                                      # slower than 1-NN kernel + XLA moments)
     early_stop: bool = True
     convergence_threshold: float = 5e-4
+    # early-stop statistic: "grad_norm" = mean per-particle |stein step|
+    # (reference criterion, SVNICP.cpp:95-101); "mean_delta" = |drift of the
+    # ensemble mean| per iteration. At the Stein equilibrium particles keep
+    # jiggling (drive vs repulsion) while the mean is static, so mean_delta
+    # converges even when the posterior is wide — the right criterion for
+    # point_to_plane, whose softer H sustains a larger equilibrium spread.
+    convergence_metric: str = "grad_norm"
     svn_full_grad: bool = False      # full second-order kernel Hessian coupling
     optimizer: str = "adam"          # svgd only: adam | rmsprop | sgd | adagrad
     use_minibatch: bool = False
@@ -70,6 +77,9 @@ class SteinICPConfig:
                 f"method must be 'svn', 'svgd' or 'svd', got {self.method!r}")
         if self.residual not in ("point_to_point", "point_to_plane"):
             raise ValueError(f"unknown residual {self.residual!r}")
+        if self.convergence_metric not in ("grad_norm", "mean_delta"):
+            raise ValueError(
+                f"unknown convergence_metric {self.convergence_metric!r}")
         if self.optimizer.lower() not in ("adam", "rmsprop", "sgd", "adagrad"):
             raise ValueError(f"unknown optimizer {self.optimizer!r}")
         if self.candidate_method not in ("bucketed", "topk", "voxel"):

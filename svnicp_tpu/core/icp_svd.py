@@ -128,8 +128,7 @@ def register(
     """Candidate pre-pairing + multi-start SVD ICP (same contract as
     svn.register)."""
     source_at_guess = geo.transform_points(r0, t0, source)
-    cand_idx, cand_d2 = knn.find_candidates(cfg, source_at_guess, target,
-                                            src_valid, tgt_valid)
-    cand_pts, cand_valid = knn.gather_candidates(target, cand_idx, cand_d2)
+    cand_pts, cand_valid = knn.find_candidate_points(
+        cfg, source_at_guess, target, src_valid, tgt_valid)
     return align(cfg, source, src_valid, cand_pts, cand_valid, r0, t0,
                  init_particles)

@@ -176,8 +176,7 @@ def register(cfg: SteinICPConfig, source, src_valid, target, tgt_valid,
              r0, t0, init_particles, rng=None) -> svn_mod.AlignResult:
     """Candidate pre-pairing + SVGD alignment (ref: SVGDICP.cpp:46-62,176-215)."""
     source_at_guess = geo.transform_points(r0, t0, source)
-    cand_idx, cand_d2 = knn.find_candidates(cfg, source_at_guess, target,
-                                            src_valid, tgt_valid)
-    cand_pts, cand_valid = knn.gather_candidates(target, cand_idx, cand_d2)
+    cand_pts, cand_valid = knn.find_candidate_points(
+        cfg, source_at_guess, target, src_valid, tgt_valid)
     return align(cfg, source, src_valid, cand_pts, cand_valid, r0, t0,
                  init_particles, rng)

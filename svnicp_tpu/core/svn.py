@@ -224,11 +224,13 @@ def _pick_point_tile(ptile: int, bsz: int, k: int) -> int:
 
 
 def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
-                   feat, bias, normals, r0, t0, state):
+                   feat, bias, normals, pallas_prep, r0, t0, state):
     """One SVN epoch: correspondences -> J/H/b -> Stein coupling -> update.
 
     `normals` is None for point-to-point, or a (unit_normals [B,3],
     plane_valid [B]) pair for the point-to-plane residual option.
+    `pallas_prep` carries the loop-invariant prepared kernel operands
+    (built once per frame by _prepare_pallas; None = XLA path).
     """
     p = state.r.shape[0]
     bsz, k = cand_pts.shape[:2]
@@ -242,8 +244,7 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
 
     # 1-NN among candidates via the single-matmul score (see above)
     params = jnp.concatenate([r_total.reshape(p, 9), t_total], axis=-1)  # [P,12]
-    if (cfg.use_pallas and normals is None and k % 128 == 0
-            and _pallas_ok()):
+    if pallas_prep is not None:
         from svnicp_tpu.kernels import nn_pallas
 
         # fully-fused kernel: correspondence + robust weights + GN moments
@@ -254,10 +255,16 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
         ptile = p if p <= 128 else next(
             (d for d in (256, 128) if p % d == 0), p)
         btile = _pick_point_tile(ptile, bsz, k)
-        hess, b = nn_pallas.fused_moments(
-            params, feat, bias, cand_pts, source, src_valid, cfg.max_dist,
-            particle_tile=ptile, point_tile=btile,
-        )
+        if normals is not None:
+            hess, b = nn_pallas.fused_moments_plane_prepared(
+                params, *pallas_prep, cfg.max_dist,
+                particle_tile=ptile, point_tile=btile,
+            )
+        else:
+            hess, b = nn_pallas.fused_moments_prepared(
+                params, *pallas_prep, cfg.max_dist,
+                particle_tile=ptile, point_tile=btile,
+            )
     else:
         cross = jnp.matmul(params, feat.T, precision=jax.lax.Precision.HIGHEST)
         score = bias.reshape(1, bsz * k) - 2.0 * cross
@@ -297,7 +304,40 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
 
     r_new, t_new = _pose_update(state.r, state.t, stein_grad)
     grad_norm = jnp.mean(jnp.linalg.norm(stein_grad, axis=1))
-    return r_new, t_new, grad_norm
+    if cfg.convergence_metric == "mean_delta":
+        # drift of the ensemble mean: repulsion cancels across particles at
+        # equilibrium, so this converges even when the posterior stays wide
+        stop_stat = jnp.linalg.norm(jnp.mean(stein_grad, axis=0))
+    else:
+        stop_stat = grad_norm
+    return r_new, t_new, grad_norm, stop_stat
+
+
+def _prepare_align(cfg, source, src_valid, cand_pts, cand_valid):
+    """Per-frame, loop-invariant alignment setup shared by align and
+    align_with_history: K-padding for the Pallas path, plane normals,
+    correspondence features, and the prepared kernel operands."""
+    use_pallas = cfg.use_pallas and _pallas_ok()
+    if use_pallas:
+        from svnicp_tpu.kernels import nn_pallas
+
+        cand_pts, cand_valid = nn_pallas.pad_candidates(cand_pts, cand_valid)
+    normals = None
+    if cfg.residual == "point_to_plane":
+        normals = residuals.plane_normals(cand_pts, cand_valid)
+    feat, bias = correspondence_features(source, cand_pts, cand_valid)
+    prep = None
+    if use_pallas and cand_pts.shape[1] % 128 == 0:
+        from svnicp_tpu.kernels import nn_pallas
+
+        if normals is not None:
+            n_vec, n_valid = normals
+            prep = nn_pallas.prepare_moments_plane(
+                feat, bias, cand_pts, source, n_vec, n_valid & src_valid)
+        else:
+            prep = nn_pallas.prepare_moments(feat, bias, cand_pts, source,
+                                             src_valid)
+    return cand_pts, cand_valid, normals, feat, bias, prep
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -320,17 +360,11 @@ def align(
     r_init = geo.bso3_exp(init_particles[:, 3:])
     t_init = init_particles[:, :3]
 
-    normals = None
-    if cfg.residual == "point_to_plane":
-        normals = residuals.plane_normals(cand_pts, cand_valid)
-    elif cfg.use_pallas and _pallas_ok():
-        from svnicp_tpu.kernels import nn_pallas
-
-        cand_pts, cand_valid = nn_pallas.pad_candidates(cand_pts, cand_valid)
-    feat, bias = correspondence_features(source, cand_pts, cand_valid)
+    cand_pts, cand_valid, normals, feat, bias, prep = _prepare_align(
+        cfg, source, src_valid, cand_pts, cand_valid)
     iteration = functools.partial(
         _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias,
-        normals, r0, t0
+        normals, prep, r0, t0
     )
 
     # NOTE(perf, measured on v5e): checking convergence every iteration in
@@ -346,10 +380,10 @@ def align(
         return (~state.done) & (state.it < cfg.iterations)
 
     def body(state: _LoopState):
-        r_new, t_new, grad_norm = iteration(state)
+        r_new, t_new, grad_norm, stop_stat = iteration(state)
         done = (
             jnp.asarray(cfg.early_stop)
-            & (grad_norm < cfg.convergence_threshold)
+            & (stop_stat < cfg.convergence_threshold)
         )
         return _LoopState(r_new, t_new, state.it + 1, grad_norm, done)
 
@@ -383,22 +417,16 @@ def align_with_history(
     t_init = init_particles[:, :3]
     p = init_particles.shape[0]
 
-    normals = None
-    if cfg.residual == "point_to_plane":
-        normals = residuals.plane_normals(cand_pts, cand_valid)
-    elif cfg.use_pallas and _pallas_ok():
-        from svnicp_tpu.kernels import nn_pallas
-
-        cand_pts, cand_valid = nn_pallas.pad_candidates(cand_pts, cand_valid)
-    feat, bias = correspondence_features(source, cand_pts, cand_valid)
+    cand_pts, cand_valid, normals, feat, bias, prep = _prepare_align(
+        cfg, source, src_valid, cand_pts, cand_valid)
     iteration = functools.partial(
         _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias,
-        normals, r0, t0
+        normals, prep, r0, t0
     )
 
     def body(state: _LoopState, _):
-        r_new, t_new, grad_norm = iteration(state)
-        newly_done = jnp.asarray(cfg.early_stop) & (grad_norm < cfg.convergence_threshold)
+        r_new, t_new, grad_norm, stop_stat = iteration(state)
+        newly_done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
         keep = ~state.done
         r_out = jnp.where(keep[None, None, None], r_new, state.r)
         t_out = jnp.where(keep[None, None], t_new, state.t)
@@ -444,7 +472,6 @@ def register(
     found once at the initial guess and reused across all iterations.
     """
     source_at_guess = geo.transform_points(r0, t0, source)
-    cand_idx, cand_d2 = knn.find_candidates(cfg, source_at_guess, target,
-                                            src_valid, tgt_valid)
-    cand_pts, cand_valid = knn.gather_candidates(target, cand_idx, cand_d2)
+    cand_pts, cand_valid = knn.find_candidate_points(
+        cfg, source_at_guess, target, src_valid, tgt_valid)
     return align(cfg, source, src_valid, cand_pts, cand_valid, r0, t0, init_particles)

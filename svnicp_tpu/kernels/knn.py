@@ -171,6 +171,29 @@ def find_candidates(cfg, source_at_guess, target, source_valid, target_valid):
                                    target_valid, cfg.knn_count)
 
 
+def find_candidate_points(cfg, source_at_guess, target, source_valid,
+                          target_valid):
+    """Stage-1 candidates as POINTS (cand_pts [B,K,3], cand_valid [B,K]).
+
+    On TPU with the Pallas path enabled, the bucketed search runs as a fused
+    kernel that emits the matched points directly (no [B,K,G] score in HBM,
+    no random gather — see nn_pallas.bucketed_candidates); otherwise falls
+    back to find_candidates + gather_candidates.
+    """
+    if cfg.candidate_method == "bucketed" and cfg.use_pallas:
+        from svnicp_tpu.kernels import nn_pallas
+
+        if nn_pallas.pallas_ok():
+            pts, d2 = nn_pallas.bucketed_candidates(
+                source_at_guess, target, source_valid, target_valid,
+                cfg.knn_count,
+            )
+            return pts, jnp.isfinite(d2)
+    idx, d2 = find_candidates(cfg, source_at_guess, target, source_valid,
+                              target_valid)
+    return gather_candidates(target, idx, d2)
+
+
 def gather_candidates(
     target: jax.Array,       # [Nt,3]
     cand_idx: jax.Array,     # [B,K]

@@ -207,7 +207,30 @@ def _moments_kernel(max_dist_ref, params_ref, feat_t_ref, cand_t_ref,
     mom_ref[:] = jnp.stack(comps, axis=0)[None]                # [1,32,Pt]
 
 
-@functools.partial(jax.jit, static_argnames=("particle_tile", "point_tile", "interpret"))
+@jax.jit
+def prepare_moments(feat, bias, cand_pts, source, src_valid):
+    """Loop-invariant operand prep for `fused_moments_prepared`.
+
+    XLA does NOT hoist operand-shaping ops across the Pallas custom-call
+    boundary out of the align while_loop (measured: the [B,4,K] candidate
+    pad re-ran every iteration, ~1.3 ms/frame at bench shapes), so callers
+    compute this ONCE per frame and pass the prepared tensors through the
+    loop.
+
+    bias is folded into the score matmul as a 13th feature (score =
+    <[vec(R),t,1],[-2 feat, bias]>); hit-count normalization is folded into
+    the candidate matmul as a 4th all-ones channel — see _moments_kernel.
+    """
+    b, k = bias.shape
+    feat13_t = jnp.concatenate([-2.0 * feat, bias.reshape(b * k, 1)], axis=1).T
+    cand4_t = jnp.concatenate(
+        [jnp.swapaxes(cand_pts, 1, 2), jnp.ones((b, 1, k), cand_pts.dtype)],
+        axis=1)                                                # [B,4,K]
+    src_t = source.T                                           # [3,B]
+    vmask = src_valid.astype(jnp.float32).reshape(1, b)
+    return feat13_t, cand4_t, src_t, vmask
+
+
 def fused_moments(
     params: jax.Array,        # [P,12]
     feat: jax.Array,          # [B*K,12]
@@ -221,25 +244,36 @@ def fused_moments(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """One fused pass: per-particle H [P,6,6] and b [P,6] straight from the
-    candidate sets — no [P,B,*] intermediate ever touches HBM."""
+    candidate sets — no [P,B,*] intermediate ever touches HBM. Convenience
+    wrapper over prepare_moments + fused_moments_prepared (tests / one-shot
+    callers; the align loop calls the split form)."""
+    prep = prepare_moments(feat, bias, cand_pts, source, src_valid)
+    return fused_moments_prepared(params, *prep, max_dist,
+                                  particle_tile=particle_tile,
+                                  point_tile=point_tile, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("particle_tile", "point_tile", "interpret"))
+def fused_moments_prepared(
+    params: jax.Array,        # [P,12]
+    feat13_t: jax.Array,      # [13,B*K] from prepare_moments
+    cand4_t: jax.Array,       # [B,4,K]
+    src_t: jax.Array,         # [3,B]
+    vmask: jax.Array,         # [1,B] f32
+    max_dist: float,
+    particle_tile: int = 64,
+    point_tile: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
     p = params.shape[0]
-    b, k = bias.shape
+    b = src_t.shape[1]
+    k = cand4_t.shape[2]
     assert k % 128 == 0 and p % particle_tile == 0 and b % point_tile == 0
     # the moments output puts particles on the lane axis
     assert particle_tile == p or particle_tile % 128 == 0, particle_tile
 
-    # bias folded into the score matmul as a 13th feature (score =
-    # <[vec(R),t,1],[-2 feat, bias]>); hit-count normalization folded into
-    # the candidate matmul as a 4th all-ones channel — see _moments_kernel.
-    # These are loop-invariant (XLA hoists them out of the align while_loop).
-    feat13_t = jnp.concatenate([-2.0 * feat, bias.reshape(b * k, 1)], axis=1).T
     params13 = jnp.concatenate(
         [params, jnp.ones((p, 1), params.dtype)], axis=-1)
-    cand4_t = jnp.concatenate(
-        [jnp.swapaxes(cand_pts, 1, 2), jnp.ones((b, 1, k), cand_pts.dtype)],
-        axis=1)                                                # [B,4,K]
-    src_t = source.T                                           # [3,B]
-    vmask = src_valid.astype(jnp.float32).reshape(1, b)
     md = jnp.asarray([max_dist], jnp.float32)
 
     n_j = b // point_tile
@@ -285,6 +319,296 @@ def fused_moments(
     h = jnp.concatenate([top, bot], axis=1) + 1e-6 * jnp.eye(6, dtype=jnp.float32)
     bvec = jnp.concatenate([b_t, b_r], axis=1)
     return h, bvec
+
+
+def _plane_moments_kernel(max_dist_ref, params_ref, feat_t_ref, cand2_t_ref,
+                          src_t_ref, nrm_t_ref, valid_ref, mom_ref):
+    """Point-to-plane correspondence + GN moments, fully fused.
+
+    Same score/argmin structure as `_moments_kernel`, but the matched
+    contraction only needs the SCALAR n_b . q (folded as a candidate channel
+    computed once per frame) — cheaper than the point-to-point 4-channel
+    gather. The per-point gradient direction g = [R^T n ; s x (R^T n)]
+    depends only on the particle rotation and loop-invariant (s, n), so
+    H = sum w g g^T and b = sum (w r) g reduce to 27 lane sums
+    (21 upper-triangle H entries + 6 b entries).
+
+    Output mom[n_j, 32, P]; rows 0..20 = H upper triangle row-major
+    ((0,0),(0,1),...,(5,5)), rows 21..26 = b, rest zero pad.
+    """
+    pt = params_ref.shape[0]
+    bt = cand2_t_ref.shape[0]
+    k = cand2_t_ref.shape[2]
+    max_dist = max_dist_ref[0]
+
+    score = jax.lax.dot_general(
+        params_ref[:], feat_t_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(pt, bt, k)
+    best = jnp.min(score, axis=-1)                            # [Pt,Bt]
+    hit = (score == best[..., None]).astype(jnp.float32)
+    matched2 = jax.lax.dot_general(
+        jnp.swapaxes(hit, 0, 1), cand2_t_ref[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                          # [Bt,Pt,2]
+    matched2 = jnp.transpose(matched2, (1, 2, 0))              # [Pt,2,Bt]
+    nq = matched2[:, 0, :] / jnp.maximum(matched2[:, 1, :], 1.0)  # n.q*
+
+    src_rows = [src_t_ref[j, :] for j in range(3)]             # 3 x [Bt]
+    nrm_rows = [nrm_t_ref[j, :] for j in range(3)]
+    transformed = jnp.stack(
+        [
+            params_ref[:, 3 * i + 0][:, None] * src_rows[0][None, :]
+            + params_ref[:, 3 * i + 1][:, None] * src_rows[1][None, :]
+            + params_ref[:, 3 * i + 2][:, None] * src_rows[2][None, :]
+            + params_ref[:, 9 + i][:, None]
+            for i in range(3)
+        ],
+        axis=1,
+    )                                                          # [Pt,3,Bt]
+    t2 = jnp.sum(transformed * transformed, axis=1)            # [Pt,Bt]
+    d2 = jnp.maximum(best + t2, 0.0)
+    gate = ((d2 < max_dist) & (best < jnp.float32(1e30))).astype(jnp.float32)
+
+    # u = R_c^T n per particle, unrolled (R row-major in params[:, :9])
+    u = [
+        params_ref[:, 0 + j][:, None] * nrm_rows[0][None, :]
+        + params_ref[:, 3 + j][:, None] * nrm_rows[1][None, :]
+        + params_ref[:, 6 + j][:, None] * nrm_rows[2][None, :]
+        for j in range(3)
+    ]                                                          # 3 x [Pt,Bt]
+    # residual r = n.(T s) - n.q* = (R^T n).s + n.t - n.q*
+    nts = (u[0] * src_rows[0][None, :] + u[1] * src_rows[1][None, :]
+           + u[2] * src_rows[2][None, :])
+    ntt = (params_ref[:, 9][:, None] * nrm_rows[0][None, :]
+           + params_ref[:, 10][:, None] * nrm_rows[1][None, :]
+           + params_ref[:, 11][:, None] * nrm_rows[2][None, :])
+    r = nts + ntt - nq
+    w = (max_dist / (max_dist + 3.0 * jnp.abs(r))) ** 2
+    w = w * gate * valid_ref[:].reshape(1, bt)
+    wr = w * r
+
+    s0, s1, s2 = (src_rows[0][None, :], src_rows[1][None, :],
+                  src_rows[2][None, :])
+    g = [
+        u[0], u[1], u[2],
+        s1 * u[2] - s2 * u[1],                                 # s x u
+        s2 * u[0] - s0 * u[2],
+        s0 * u[1] - s1 * u[0],
+    ]
+    comps = [jnp.sum(w * g[i] * g[j], axis=1)
+             for i in range(6) for j in range(i, 6)]           # 21 H entries
+    comps += [jnp.sum(wr * g[i], axis=1) for i in range(6)]    # b
+    zero = jnp.zeros((pt,), jnp.float32)
+    comps += [zero] * (32 - len(comps))
+    mom_ref[:] = jnp.stack(comps, axis=0)[None]                # [1,32,Pt]
+
+
+@jax.jit
+def prepare_moments_plane(feat, bias, cand_pts, source, normals, valid):
+    """Loop-invariant operand prep for `fused_moments_plane_prepared`
+    (see prepare_moments for why this is split out of the iteration)."""
+    b, k = bias.shape
+    feat13_t = jnp.concatenate([-2.0 * feat, bias.reshape(b * k, 1)], axis=1).T
+    # channel 0: n_b . c_bk (loop-invariant); channel 1: hit counter
+    ndotc = jnp.einsum("bkd,bd->bk", cand_pts, normals,
+                       precision=jax.lax.Precision.HIGHEST)
+    cand2_t = jnp.stack([ndotc, jnp.ones_like(ndotc)], axis=1)  # [B,2,K]
+    src_t = source.T
+    nrm_t = normals.T
+    vmask = valid.astype(jnp.float32).reshape(1, b)
+    return feat13_t, cand2_t, src_t, nrm_t, vmask
+
+
+def fused_moments_plane(
+    params: jax.Array,        # [P,12]
+    feat: jax.Array,          # [B*K,12]
+    bias: jax.Array,          # [B,K] (+inf at invalid slots)
+    cand_pts: jax.Array,      # [B,K,3]
+    source: jax.Array,        # [B,3]
+    normals: jax.Array,       # [B,3] unit plane normals (residuals.plane_normals)
+    valid: jax.Array,         # [B] bool: src_valid & plane_valid
+    max_dist: float,
+    particle_tile: int = 64,
+    point_tile: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused point-to-plane pass: H [P,6,6], b [P,6] straight from the
+    candidate sets (plane analogue of `fused_moments`)."""
+    prep = prepare_moments_plane(feat, bias, cand_pts, source, normals, valid)
+    return fused_moments_plane_prepared(params, *prep, max_dist,
+                                        particle_tile=particle_tile,
+                                        point_tile=point_tile,
+                                        interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("particle_tile", "point_tile", "interpret"))
+def fused_moments_plane_prepared(
+    params: jax.Array,        # [P,12]
+    feat13_t: jax.Array,      # [13,B*K]
+    cand2_t: jax.Array,       # [B,2,K]
+    src_t: jax.Array,         # [3,B]
+    nrm_t: jax.Array,         # [3,B]
+    vmask: jax.Array,         # [1,B] f32
+    max_dist: float,
+    particle_tile: int = 64,
+    point_tile: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    p = params.shape[0]
+    b = src_t.shape[1]
+    k = cand2_t.shape[2]
+    assert k % 128 == 0 and p % particle_tile == 0 and b % point_tile == 0
+    assert particle_tile == p or particle_tile % 128 == 0, particle_tile
+
+    params13 = jnp.concatenate(
+        [params, jnp.ones((p, 1), params.dtype)], axis=-1)
+    md = jnp.asarray([max_dist], jnp.float32)
+
+    n_j = b // point_tile
+    grid = (p // particle_tile, n_j)
+    moments = pl.pallas_call(
+        _plane_moments_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((particle_tile, 13), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((13, point_tile * k), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((point_tile, 2, k), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, point_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, point_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, point_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 32, particle_tile), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_j, 32, p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(md, params13, feat13_t, cand2_t, src_t, nrm_t, vmask)
+
+    m = jnp.sum(moments, axis=0).T                             # [P,32]
+    iu, ju = jnp.triu_indices(6)
+    h = jnp.zeros((p, 6, 6), jnp.float32)
+    h = h.at[:, iu, ju].set(m[:, :21])
+    h = h.at[:, ju, iu].set(m[:, :21])                         # symmetric fill
+    h = h + 1e-6 * jnp.eye(6, dtype=jnp.float32)
+    bvec = m[:, 21:27]
+    return h, bvec
+
+
+def pallas_ok() -> bool:
+    """Pallas kernels compile only on TPU; interpret-mode tests opt in via
+    SVNICP_PALLAS_INTERPRET=1 (with pltpu.force_tpu_interpret_mode)."""
+    import os
+
+    return (
+        jax.default_backend() == "tpu"
+        or os.environ.get("SVNICP_PALLAS_INTERPRET") == "1"
+    )
+
+
+def _stage1_kernel(src_ref, tgt4_ref, out_ref):
+    """One (group, source-tile) block of the bucketed candidate search.
+
+    score = |c|^2 - 2 <s, c> over the group's targets, min over the group,
+    and the argmin POINT extracted by a one-hot MXU contraction — the whole
+    score tile lives only in VMEM, and no random HBM gather ever happens
+    (TPU gathers are the dominant cost of the XLA path: 4.1 ms/frame of
+    [B*K,3] gather at bench shapes, vs ~0 here).
+    """
+    s = src_ref[:]                                      # [Bt,3]
+    tgt = tgt4_ref[0]                                   # [4,Gp] xyz + bias
+    cross = jax.lax.dot_general(
+        s, tgt[:3, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # [Bt,Gp]
+    score = tgt[3, :][None, :] - 2.0 * cross
+    best = jnp.min(score, axis=-1)                      # [Bt]
+    hit = ((score == best[:, None]) & (score < jnp.float32(1e30))
+           ).astype(jnp.float32)
+    cnt = jnp.sum(hit, axis=-1)                         # [Bt]
+    picked = jax.lax.dot_general(
+        hit, tgt,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # [Bt,4]
+    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    out = jnp.concatenate(
+        [jnp.transpose(picked[:, :3]) * inv[None, :], best[None, :]], axis=0
+    )                                                   # [4,Bt]
+    out_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "point_tile", "interpret"))
+def bucketed_candidates(
+    source: jax.Array,        # [B,3] source points (already at the guess)
+    target: jax.Array,        # [Nt,3] map points, hash-ordered
+    source_valid: jax.Array,  # [B] bool
+    target_valid: jax.Array,  # [Nt] bool
+    k: int,
+    point_tile: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused stage-1 candidate search (Pallas path of
+    `knn.knn_candidates_bucketed`): the target is split into k contiguous
+    groups and each source point takes the nearest target of every group.
+
+    Returns (cand_pts [B,k,3], cand_d2 [B,k] with +inf at invalid slots) —
+    candidate POINTS directly, replacing the index+gather contract of the
+    XLA path. Tie-break divergence (documented): equidistant within-group
+    minima are averaged here (one-hot normalization) where the XLA argmin
+    picks the first — measure-zero for real clouds.
+    """
+    b = source.shape[0]
+    nt = target.shape[0]
+    pad = (-nt) % k
+    if pad:
+        target = jnp.concatenate([target, jnp.zeros((pad, 3), target.dtype)], axis=0)
+        target_valid = jnp.concatenate([target_valid, jnp.zeros((pad,), bool)], axis=0)
+    group = target.shape[0] // k
+    gp = -(-group // 128) * 128                         # lane-pad per group
+
+    bias = jnp.where(target_valid,
+                     jnp.sum(target * target, axis=-1), jnp.inf)
+    tgt4 = jnp.concatenate([target, bias[:, None]], axis=1)     # [Nt_p,4]
+    tgt4 = tgt4.reshape(k, group, 4)
+    if gp != group:
+        fill = jnp.zeros((k, gp - group, 4), tgt4.dtype).at[:, :, 3].set(jnp.inf)
+        tgt4 = jnp.concatenate([tgt4, fill], axis=1)
+    tgt4 = jnp.swapaxes(tgt4, 1, 2)                     # [k,4,Gp]
+
+    bt = point_tile if b % point_tile == 0 else b
+    grid = (k, b // bt)
+    out = pl.pallas_call(
+        _stage1_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, 3), lambda g, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, gp), lambda g, j: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, bt), lambda g, j: (g, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, 4, b), jnp.float32),
+        interpret=interpret,
+    )(source, tgt4)
+
+    cand_pts = jnp.transpose(out[:, :3, :], (2, 0, 1))  # [B,k,3]
+    best = out[:, 3, :].T                               # [B,k]
+    s2 = jnp.sum(source * source, axis=-1, keepdims=True)
+    d2 = jnp.maximum(best + s2, 0.0)
+    d2 = jnp.where(best < 1e30, d2, jnp.inf)
+    d2 = jnp.where(source_valid[:, None], d2, jnp.inf)
+    return cand_pts, d2
 
 
 def _skew_batch(v):

@@ -113,6 +113,99 @@ def test_fused_moments_padding_independence(rng):
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-5)
 
 
+def test_bucketed_candidates_matches_oracle(rng):
+    """Fused stage-1 kernel vs knn_candidates_bucketed + gather (the XLA
+    oracle), incl. invalid targets/sources and nt % k != 0 padding."""
+    from svnicp_tpu.kernels import knn
+
+    b, nt, k = 64, 1000, 8   # group 125 -> lane-pad to 128 inside the kernel
+    source = jnp.asarray(rng.normal(size=(b, 3)).astype(np.float32) * 10)
+    target = jnp.asarray(rng.normal(size=(nt, 3)).astype(np.float32) * 10)
+    sv = jnp.asarray(rng.random(b) > 0.1)
+    tv = jnp.asarray(rng.random(nt) > 0.2)
+
+    idx, d2_ref = knn.knn_candidates_bucketed(source, target, sv, tv, k)
+    pts_ref, valid_ref = knn.gather_candidates(target, idx, d2_ref)
+
+    pts_ker, d2_ker = nn_pallas.bucketed_candidates(
+        source, target, sv, tv, k, point_tile=16, interpret=True)
+    valid_ker = np.isfinite(np.asarray(d2_ker))
+
+    np.testing.assert_array_equal(valid_ker, np.asarray(valid_ref))
+    mask = valid_ker
+    np.testing.assert_allclose(np.asarray(d2_ker)[mask],
+                               np.asarray(d2_ref)[mask], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pts_ker)[mask],
+                               np.asarray(pts_ref)[mask], rtol=1e-4, atol=1e-4)
+
+
+def test_fused_moments_plane_matches_xla_assembly(rng):
+    """The fused point-to-plane kernel must reproduce the XLA plane H/b."""
+    from svnicp_tpu.core import residuals
+
+    p, b, k = 8, 64, 128
+    source = jnp.asarray(rng.normal(size=(b, 3)).astype(np.float32) * 5)
+    src_valid = jnp.asarray(rng.random(b) > 0.2)
+    cand = jnp.asarray(rng.normal(size=(b, k, 3)).astype(np.float32) * 5)
+    cvalid = jnp.asarray(rng.random((b, k)) > 0.1)
+    feat, bias = svn.correspondence_features(source, cand, cvalid)
+    normals, n_valid = residuals.plane_normals(cand, cvalid)
+    xi = jnp.asarray(rng.normal(size=(p, 6)).astype(np.float32) * 0.1)
+    r = geo.bso3_exp(xi[:, 3:])
+    t = xi[:, :3]
+    params = jnp.concatenate([r.reshape(p, 9), t], axis=-1)
+    max_dist = 2.8
+
+    h_ker, b_ker = nn_pallas.fused_moments_plane(
+        params, feat, bias, cand, source, normals, n_valid & src_valid,
+        max_dist, particle_tile=8, point_tile=16, interpret=True,
+    )
+
+    m_ref, s_ref = nn_pallas.fused_nn_match_oracle(params, feat, bias, cand)
+    transformed = jnp.einsum("pij,bj->pbi", r, source) + t[:, None, :]
+    nn_d2 = jnp.maximum(s_ref + jnp.sum(transformed**2, axis=-1), 0.0)
+    pair_valid = (nn_d2 < max_dist) & jnp.isfinite(s_ref)
+    h_ref, b_ref = residuals.ensemble_gauss_newton_plane(
+        source, transformed, m_ref, normals,
+        pair_valid & (n_valid & src_valid)[None, :], r, max_dist)
+    np.testing.assert_allclose(np.asarray(h_ker), np.asarray(h_ref),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(b_ker), np.asarray(b_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_align_plane_with_pallas_matches_xla(rng):
+    """End-to-end point-to-plane: align with use_pallas (interpret) vs XLA."""
+    import dataclasses
+    import os
+
+    from svnicp_tpu.config import SteinICPConfig
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 256
+    cloud = rng.normal(size=(n, 3)).astype(np.float32) * 5
+    cloud[:80, 2] = 0.0
+    cloud[80:160, 1] = 4.0
+    xi = jnp.asarray([0.1, -0.05, 0.02, 0.01, 0.0, 0.02])
+    r, t = geo.se3_exp(xi)
+    target = geo.transform_points(r, t, jnp.asarray(cloud))
+    cfg = SteinICPConfig(particle_count=4, iterations=20, knn_count=16,
+                         max_dist=2.8, early_stop=False,
+                         residual="point_to_plane")
+    init = svn.init_particles_uniform(jax.random.PRNGKey(0), 4, cfg.init_lb, cfg.init_ub)
+    args = (jnp.asarray(cloud), jnp.ones(n, bool), target, jnp.ones(n, bool),
+            jnp.eye(3), jnp.zeros(3), init)
+    ref = svn.register(cfg, *args)
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    os.environ["SVNICP_PALLAS_INTERPRET"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = svn.register(cfg_p, *args)
+    finally:
+        del os.environ["SVNICP_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(np.asarray(out.mean), np.asarray(ref.mean), atol=1e-4)
+
+
 def test_align_with_pallas_matches_xla(rng):
     """End-to-end: align with use_pallas (interpret) vs the XLA path."""
     import dataclasses
