@@ -62,11 +62,14 @@ def auto_axes(n_devices: int, particle_count: int) -> tuple[int, int]:
 
 
 def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
-                       feat, bias, r0, t0, r, t):
+                       feat, bias, normals, r0, t0, r, t):
     """One SVN epoch on a (particle, point) shard.
 
     source/cand_* are the local point shard [Bl,...]; r/t the local particle
-    shard [Pl,...]. Returns updated local particles + the global grad norm.
+    shard [Pl,...]; normals the local (unit_normals, plane_valid) pair or
+    None (point-to-point). Returns updated local particles + the global
+    early-stop statistic (grad norm or ensemble-mean drift per
+    cfg.convergence_metric).
     """
     p_local = r.shape[0]
     bsz, k = cand_pts.shape[:2]
@@ -89,9 +92,17 @@ def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_va
     pair_valid = (nn_d2 < cfg.max_dist) & src_valid[None, :] & jnp.isfinite(best_score)
 
     # local-point partial H/b, then Schur-style psum over the point axis
-    hess, b = residuals.ensemble_gauss_newton(
-        source, transformed, matched, pair_valid, src_valid, r_total, cfg.max_dist
-    )
+    if normals is not None:
+        n_vec, n_valid = normals
+        hess, b = residuals.ensemble_gauss_newton_plane(
+            source, transformed, matched, n_vec,
+            pair_valid & n_valid[None, :], r_total, cfg.max_dist
+        )
+    else:
+        hess, b = residuals.ensemble_gauss_newton(
+            source, transformed, matched, pair_valid, src_valid, r_total,
+            cfg.max_dist
+        )
     # the +jitter and gate-damping identity blocks are added per point shard;
     # correct for the duplicated jitter after the reduction
     n_point_shards = jax.lax.psum(1, POINT_AXIS)
@@ -118,11 +129,16 @@ def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_va
     r_new = jnp.matmul(r, dr, precision=jax.lax.Precision.HIGHEST)
     t_new = jnp.einsum("pij,pj->pi", r_new, jnp.einsum("pij,pj->pi", jl, dt_)) + t
 
-    grad_norm = jax.lax.pmean(
-        jnp.mean(jnp.linalg.norm(stein_grad, axis=1)), PARTICLE_AXIS
-    )
+    if cfg.convergence_metric == "mean_delta":
+        # drift of the FULL ensemble mean: pmean of the local mean update
+        mean_step = jax.lax.pmean(jnp.mean(stein_grad, axis=0), PARTICLE_AXIS)
+        stop_stat = jnp.linalg.norm(mean_step)
+    else:
+        stop_stat = jax.lax.pmean(
+            jnp.mean(jnp.linalg.norm(stein_grad, axis=1)), PARTICLE_AXIS
+        )
     del p_local
-    return r_new, t_new, grad_norm
+    return r_new, t_new, stop_stat
 
 
 def sharded_align(
@@ -145,6 +161,10 @@ def sharded_align(
         r = geo.bso3_exp(init_l[:, 3:])
         t = init_l[:, :3]
         feat, bias = svn.correspondence_features(source_l, cand_l, cand_valid_l)
+        normals = None
+        if cfg.residual == "point_to_plane":
+            # the plane fit uses only the local candidate shard — no comms
+            normals = residuals.plane_normals(cand_l, cand_valid_l)
 
         def cond(state):
             r_, t_, it, gn, done = state
@@ -152,12 +172,12 @@ def sharded_align(
 
         def step(state):
             r_, t_, it, gn, done = state
-            r_n, t_n, grad_norm = _sharded_iteration(
+            r_n, t_n, stop_stat = _sharded_iteration(
                 cfg, source_l, src_valid_l, cand_l, cand_valid_l, feat, bias,
-                r0_l, t0_l, r_, t_
+                normals, r0_l, t0_l, r_, t_
             )
-            done = jnp.asarray(cfg.early_stop) & (grad_norm < cfg.convergence_threshold)
-            return (r_n, t_n, it + 1, grad_norm, done)
+            done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
+            return (r_n, t_n, it + 1, stop_stat, done)
 
         init_state = (r, t, jnp.zeros((), jnp.int32),
                       jnp.asarray(jnp.inf, source_l.dtype), jnp.zeros((), bool))

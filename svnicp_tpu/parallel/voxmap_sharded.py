@@ -262,6 +262,11 @@ def sharded_register_with_map(
             source_at_guess, src_valid_l, map_pts_l, map_valid_l, k_per
         )
         feat, bias = svn.correspondence_features(source_l, cand_pts, cand_valid)
+        normals = None
+        if cfg.residual == "point_to_plane":
+            from svnicp_tpu.core import residuals as res_mod
+
+            normals = res_mod.plane_normals(cand_pts, cand_valid)
         r = geo.bso3_exp(init_l[:, 3:])
         t = init_l[:, :3]
 
@@ -270,12 +275,12 @@ def sharded_register_with_map(
 
         def step(state):
             r_, t_, it, gn, done = state
-            r_n, t_n, grad_norm = sharding._sharded_iteration(
+            r_n, t_n, stop_stat = sharding._sharded_iteration(
                 cfg, source_l, src_valid_l, cand_pts, cand_valid, feat, bias,
-                r0_l, t0_l, r_, t_,
+                normals, r0_l, t0_l, r_, t_,
             )
-            done = jnp.asarray(cfg.early_stop) & (grad_norm < cfg.convergence_threshold)
-            return (r_n, t_n, it + 1, grad_norm, done)
+            done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
+            return (r_n, t_n, it + 1, stop_stat, done)
 
         init_state = (r, t, jnp.zeros((), jnp.int32),
                       jnp.asarray(jnp.inf, source_l.dtype), jnp.zeros((), bool))

@@ -66,6 +66,30 @@ def test_sharded_svn_full_grad(rng, devices):
     np.testing.assert_allclose(np.asarray(out.mean), np.asarray(ref.mean), atol=3e-3)
 
 
+def test_sharded_point_to_plane_matches_single_device(rng, devices):
+    if len(devices) < 8:
+        pytest.skip("needs 8 devices")
+    source, target, _ = make_problem(rng)
+    cfg = SteinICPConfig(particle_count=8, iterations=30, lr=1.0, max_dist=2.8,
+                         knn_count=16, early_stop=True,
+                         residual="point_to_plane",
+                         convergence_metric="mean_delta",
+                         convergence_threshold=1e-4)
+    n = source.shape[0]
+    init = svn.init_particles_uniform(jax.random.PRNGKey(2), 8, cfg.init_lb, cfg.init_ub)
+    args = (source, jnp.ones(n, bool), target, jnp.ones(n, bool),
+            jnp.eye(3), jnp.zeros(3), init)
+    ref = svn.register(cfg, *args)
+    mesh = sharding.make_mesh(2, 4)
+    out = sharding.sharded_register(mesh, cfg, *args)
+    # psum reduction order differs from the single-device sum; the softer
+    # plane H amplifies it over the coupled iterations (same envelope as the
+    # full-grad test above)
+    np.testing.assert_allclose(np.asarray(out.mean), np.asarray(ref.mean), atol=2e-3)
+    # same early-stop iteration on every shard and as the reference
+    assert int(out.iterations) == int(ref.iterations)
+
+
 def test_auto_axes():
     assert sharding.auto_axes(8, 64) == (8, 1)
     assert sharding.auto_axes(8, 4) == (4, 2)
