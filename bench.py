@@ -40,7 +40,10 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
     cfg = cfg_mod.PipelineConfig(
         icp=cfg_mod.SteinICPConfig(
             particle_count=particles, iterations=iterations, lr=1.0, max_dist=3.0,
-            knn_count=100, early_stop=early_stop,
+            # plane: K=32 candidate sets double as tight plane-fit
+            # neighborhoods (large-K fits span multiple surfaces and bias
+            # the normals — BASELINE.md); p2p keeps the reference's K=100
+            knn_count=32 if plane else 100, early_stop=early_stop,
             convergence_threshold=1e-3 if plane else 5e-4,
             convergence_metric="mean_delta" if plane else "grad_norm",
             source_capacity=4096, target_capacity=65536, use_pallas=use_pallas,

@@ -102,13 +102,27 @@ def plane_normals(
     to machine precision).
     """
     f32 = cand_pts.dtype
-    w = cand_valid.astype(f32)                          # [B,K]
-    n = jnp.sum(w, axis=-1)                             # [B]
+    m = cand_valid.astype(f32)                          # [B,K]
+    n = jnp.sum(m, axis=-1)                             # [B]
     n_safe = jnp.maximum(n, 1.0)
-    mean = jnp.sum(cand_pts * w[..., None], axis=1) / n_safe[:, None]
-    d = (cand_pts - mean[:, None, :]) * w[..., None]    # centered, masked
+    mean0 = jnp.sum(cand_pts * m[..., None], axis=1) / n_safe[:, None]
+
+    # Soft local refit: with large K the candidate set spans several meters
+    # and often MULTIPLE surfaces, which biases a plain scatter fit
+    # (measured: K=100 normals gave 3x worse ATE than K=32 on the demo
+    # scene). Downweight candidates far from the set's center with a
+    # self-normalizing Gaussian (bandwidth = mean squared spread), then
+    # recompute the weighted mean/covariance — a one-step robust refit that
+    # concentrates the fit on the dominant local surface at any K.
+    d0 = cand_pts - mean0[:, None, :]
+    r2 = jnp.sum(d0 * d0, axis=-1)                      # [B,K]
+    h = jnp.sum(r2 * m, axis=-1) / n_safe               # mean sq spread
+    w = m * jnp.exp(-r2 / jnp.maximum(h, 1e-12)[:, None])
+    sw = jnp.maximum(jnp.sum(w, axis=-1), 1e-6)
+    mean = jnp.sum(cand_pts * w[..., None], axis=1) / sw[:, None]
+    d = (cand_pts - mean[:, None, :]) * jnp.sqrt(w)[..., None]
     cov = jnp.einsum("bki,bkj->bij", d, d, precision=jax.lax.Precision.HIGHEST)
-    cov = cov / n_safe[:, None, None]
+    cov = cov / sw[:, None, None]
 
     # Smith's trigonometric eigenvalues for symmetric 3x3
     q = jnp.trace(cov, axis1=-2, axis2=-1) / 3.0        # [B]

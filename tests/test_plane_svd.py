@@ -20,6 +20,9 @@ from tests.test_svn import CFG, make_structured_cloud, run_registration
 
 class TestPlaneNormals:
     def test_matches_numpy_eigh(self, rng):
+        """Numpy oracle replicating the soft local refit (see plane_normals):
+        Gaussian reweight by distance to the raw center, then the smallest
+        eigenvector of the weighted scatter."""
         b, k = 32, 12
         pts = rng.normal(size=(b, k, 3)).astype(np.float32)
         valid = rng.uniform(size=(b, k)) < 0.8
@@ -27,8 +30,14 @@ class TestPlaneNormals:
         normals, nvalid = residuals.plane_normals(jnp.asarray(pts), jnp.asarray(valid))
         normals, nvalid = np.asarray(normals), np.asarray(nvalid)
         for i in range(b):
-            sel = pts[i][valid[i]]
-            c = np.cov(sel.T, bias=True)
+            sel = pts[i][valid[i]].astype(np.float64)
+            mean0 = sel.mean(axis=0)
+            r2 = np.sum((sel - mean0) ** 2, axis=1)
+            h = max(r2.mean(), 1e-12)
+            w = np.exp(-r2 / h)
+            mu = (w[:, None] * sel).sum(0) / w.sum()
+            d = sel - mu
+            c = (w[:, None, None] * d[:, :, None] * d[:, None, :]).sum(0) / w.sum()
             w_, v_ = np.linalg.eigh(c)
             expect = v_[:, 0]
             if not nvalid[i]:
