@@ -27,7 +27,8 @@ CPU_BASELINE_FPS = 0.0451
 
 def build(n_frames: int, particles: int, use_pallas: bool = False,
           candidate_method: str = "bucketed", iterations: int = 100,
-          early_stop: bool = True, residual: str = "point_to_point"):
+          early_stop: bool = True, residual: str = "point_to_point",
+          batch: int = 1):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
@@ -54,6 +55,7 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
         preprocess=cfg_mod.PreprocessConfig(min_range=2.0, max_range=80.0,
                                             voxel_size=1.0, raw_capacity=32768),
         lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
+        dispatch_batch=batch,
     )
     world = datasets.SyntheticWorld(extent=80.0, n_walls=24, n_boxes=16, seed=7)
     times, rots, trans = datasets.synthetic_trajectory(n_frames, dt=0.1, speed=2.0, seed=7)
@@ -66,19 +68,25 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
 
 def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = False,
         candidate_method: str = "bucketed", iterations: int = 100,
-        early_stop: bool = True, residual: str = "point_to_point"):
+        early_stop: bool = True, residual: str = "point_to_point",
+        batch: int = 1):
     import jax
 
     pipe, times, scans = build(n_frames, particles, use_pallas, candidate_method,
-                               iterations, early_stop, residual)
-    # warmup (compile + first-frame bootstrap)
+                               iterations, early_stop, residual, batch)
+    import numpy as _np
+
+    # warmup (compile + first-frame bootstrap; flush drains batched mode)
     for i in range(warmup):
         out = pipe.feed_scan(float(times[i]), scans[i])
-    jax.block_until_ready(out.pose_t)
+    out = pipe.flush() or out
+    _np.asarray(out.pose_t)     # hard sync: block_until_ready alone is
+                                # unreliable over the axon tunnel
     t0 = time.perf_counter()
     for i in range(warmup, n_frames):
-        out = pipe.feed_scan(float(times[i]), scans[i])
-    jax.block_until_ready(out.pose_t)
+        out = pipe.feed_scan(float(times[i]), scans[i]) or out
+    out = pipe.flush() or out
+    _np.asarray(out.pose_t)
     dt = time.perf_counter() - t0
     return (n_frames - warmup) / dt
 
@@ -97,6 +105,13 @@ def main():
                     help="disable the fused Pallas NN kernel (XLA fallback)")
     ap.add_argument("--no-early-stop", action="store_true",
                     help="run all --iters iterations (decomposition ladder)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="frames per device dispatch (lax.scan batching). "
+                         "Measured SLOWER than per-frame dispatch on the "
+                         "axon tunnel (20 vs 14 ms/frame) despite the ~5 ms "
+                         "launch gap — XLA overlaps consecutive dispatches "
+                         "better than scan iterations — kept for non-tunnel "
+                         "backends")
     ap.add_argument("--residual", default="point_to_plane",
                     choices=["point_to_point", "point_to_plane"],
                     help="ICP residual model; point_to_plane is the default "
@@ -113,10 +128,14 @@ def main():
                           "unit": "frames/s", "vs_baseline": 1.0}))
         return
 
-    fps = run(n_frames=args.frames or 23, warmup=3, use_pallas=not args.no_pallas,
+    # warmup must compile BOTH programs: the bootstrap/per-frame step and
+    # (batch>1) the scan-of-steps program — so it spans 1 + 2*batch frames
+    warmup = 3 if args.batch <= 1 else 1 + 2 * args.batch
+    fps = run(n_frames=args.frames or (warmup + 40), warmup=warmup,
+              use_pallas=not args.no_pallas,
               candidate_method=args.method, iterations=args.iters,
               particles=args.particles, early_stop=not args.no_early_stop,
-              residual=args.residual)
+              residual=args.residual, batch=args.batch)
     print(json.dumps({
         "metric": "lidar_frames_per_sec_per_chip_64_particles",
         "value": round(fps, 3),

@@ -197,6 +197,13 @@ class PipelineConfig:
     sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
     dtype: str = "float32"
     seed: int = 0
+    # frames per device dispatch (lax.scan inside one jitted call). 1 =
+    # live/low-latency mode. >1 amortizes per-program launch overhead —
+    # worthwhile on remote-tunnel devices (measured ~5 ms/frame of launch
+    # gap on the axon tunnel) and for offline replay/eval; adds
+    # (dispatch_batch-1) frames of output latency. Ignored (forced to 1)
+    # when the pose graph is enabled, which needs per-frame host decisions.
+    dispatch_batch: int = 1
 
     @property
     def np_dtype(self):

@@ -446,6 +446,23 @@ def odometry_step_packed(cfg: PipelineConfig, state: OdometryState,
     return _odometry_step_impl(cfg, state, _unpack_frame(cfg, scan_buf, imu_buf, meta))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_steps_packed(cfg: PipelineConfig, state: OdometryState,
+                          scan_bufs: jax.Array, imu_bufs: jax.Array,
+                          metas: jax.Array):
+    """`odometry_step_packed` over a [F,...] batch of staged frames as one
+    jitted lax.scan — ONE program launch for F frames. On a remote-tunnel
+    device each launch costs ~5 ms of admission gap (measured; device-busy
+    time per frame was 7 ms), so batching nearly doubles offline throughput.
+    Returns (final state, FrameOutput pytree with a leading F axis)."""
+
+    def body(st, inp):
+        sb, ib, mb = inp
+        return _odometry_step_impl(cfg, st, _unpack_frame(cfg, sb, ib, mb))
+
+    return jax.lax.scan(body, state, (scan_bufs, imu_bufs, metas))
+
+
 @dataclasses.dataclass
 class LIOPipeline:
     """Host driver: sensor feeds, IMU<->LiDAR sync, frame staging.
@@ -472,6 +489,7 @@ class LIOPipeline:
         self.outputs: list[FrameOutput] = []
         self.times: list[float] = []
         self.posegraph = None
+        self._batch: list = []
         self._keyframe_clouds: list[tuple[np.ndarray, np.ndarray]] = []
         self.loop_closures: list[tuple[int, int]] = []
         if self.cfg.posegraph.enabled:
@@ -566,15 +584,30 @@ class LIOPipeline:
 
     def feed_scan(self, t: float, points: np.ndarray, timestamps=None) -> FrameOutput | None:
         """Process one LiDAR scan; returns the frame output (or None when the
-        frame-gap gate drops it, ref: OdometryPipeline.cpp:528)."""
+        frame-gap gate drops it, ref: OdometryPipeline.cpp:528).
+
+        With cfg.dispatch_batch > 1 (and no pose graph), frames after the
+        bootstrap are buffered and dispatched dispatch_batch-at-a-time as one
+        lax.scan program (see odometry_steps_packed); returns None until a
+        batch flushes, then the batch's last output. Call `flush()` before
+        reading `trajectory()`/`outputs` to drain a partial batch.
+        """
         if self._last_frame_time is not None and (
             t - self._last_frame_time < self.cfg.lio.frame_gap_seconds
         ):
             return None
         scan_buf, imu_buf, meta = self._pack_frame(t, points, timestamps)
+        batch_n = self.cfg.dispatch_batch if self.posegraph is None else 1
         if self._frames == 0:
             self.state, out = bootstrap_packed(self.cfg, self.state,
                                                scan_buf, imu_buf, meta)
+        elif batch_n > 1:
+            self._frames += 1
+            self._last_frame_time = t
+            self._batch.append((scan_buf, imu_buf, meta, t))
+            if len(self._batch) < batch_n:
+                return None
+            return self._flush_batch()
         else:
             self.state, out = odometry_step_packed(self.cfg, self.state,
                                                    scan_buf, imu_buf, meta)
@@ -585,6 +618,44 @@ class LIOPipeline:
         if self.posegraph is not None:
             self._update_posegraph(t, out, points)
         return out
+
+    def _flush_batch(self) -> FrameOutput | None:
+        """Dispatch the buffered frames as one scan program and unstack."""
+        if not self._batch:
+            return None
+        items = self._batch
+        self._batch = []
+        if len(items) == 1:
+            # avoid a distinct scan-length compilation for a lone remainder
+            sb, ib, mb, t = items[0]
+            self.state, out = odometry_step_packed(self.cfg, self.state, sb, ib, mb)
+            self.outputs.append(out)
+            self.times.append(t)
+            return out
+        sbs = np.stack([it[0] for it in items])
+        ibs = np.stack([it[1] for it in items])
+        mbs = np.stack([it[2] for it in items])
+        self.state, outs = odometry_steps_packed(self.cfg, self.state, sbs, ibs, mbs)
+        last = None
+        for i, it in enumerate(items):
+            last = jax.tree.map(lambda a, i=i: a[i], outs)
+            self.outputs.append(last)
+            self.times.append(it[3])
+        return last
+
+    def flush(self) -> FrameOutput | None:
+        """Drain a partially-filled dispatch batch (no-op in live mode).
+        Returns the last frame's output, or None if nothing was pending."""
+        last = None
+        while self._batch:
+            # drain one-by-one: a partial batch has a different scan length,
+            # and per-frame dispatch avoids compiling a program per length
+            sb, ib, mb, t = self._batch.pop(0)
+            self.state, out = odometry_step_packed(self.cfg, self.state, sb, ib, mb)
+            self.outputs.append(out)
+            self.times.append(t)
+            last = out
+        return last
 
     # ------------------------------------------------------------ pose graph
 

@@ -140,6 +140,28 @@ class TestLongRunStability:
 
 
 class TestThreadedIngest:
+    def test_batched_dispatch_matches_sequential(self, world):
+        """dispatch_batch>1 must produce bit-identical state evolution (the
+        same step function runs, just under lax.scan), incl. a partial-batch
+        flush()."""
+        cfg1 = small_cfg()
+        pipe1, gt = run_sequence(cfg1, world, n_frames=7)
+        cfg4 = dataclasses.replace(cfg1, dispatch_batch=3)  # 6 frames + 1 rest
+        pipe4 = pl.LIOPipeline(cfg4)
+        times, rots, trans = datasets.synthetic_trajectory(7, dt=0.1, speed=1.2, seed=5)
+        rng2 = np.random.default_rng(5)
+        returned = []
+        for i in range(7):
+            scan = world.scan_at(rng2, rots[i], trans[i], n_points=4000, noise=0.01)
+            returned.append(pipe4.feed_scan(float(times[i]), scan))
+        pipe4.flush()
+        # buffered feeds return None, flushes return the batch tail
+        assert returned[1] is None and returned[2] is None
+        assert returned[3] is not None
+        assert len(pipe4.outputs) == len(pipe1.outputs) == 7
+        np.testing.assert_allclose(pipe4.trajectory(), pipe1.trajectory(),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_run_threaded_matches_sequential(self, world, rng):
         cfg = small_cfg()
         times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, seed=9)
