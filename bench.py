@@ -28,7 +28,7 @@ CPU_BASELINE_FPS = 0.0451
 def build(n_frames: int, particles: int, use_pallas: bool = False,
           candidate_method: str = "bucketed", iterations: int = 100,
           early_stop: bool = True, residual: str = "point_to_point",
-          batch: int = 1):
+          batch: int = 1, host_ds: bool = True):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
@@ -53,7 +53,8 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
         map=cfg_mod.MapConfig(voxel_size=1.0, max_points_per_voxel=20,
                               max_range=300.0, capacity=131072),
         preprocess=cfg_mod.PreprocessConfig(min_range=2.0, max_range=80.0,
-                                            voxel_size=1.0, raw_capacity=32768),
+                                            voxel_size=1.0, raw_capacity=32768,
+                                            host_downsample=host_ds),
         lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
         dispatch_batch=batch,
     )

@@ -72,6 +72,96 @@ int svn_stage_scan(const float* xyz, int n, float min_range, float max_range,
 }
 
 // ---------------------------------------------------------------------------
+// Two-stage uniform downsample on the host — the reference's CPU PCL
+// UniformSampling (ref: OdometryPipeline.cpp:684-690) done natively so the
+// device upload shrinks from the raw scan to the two downsampled clouds
+// (the remote-tunnel transfer is the measured frame-floor bottleneck).
+//
+// Bit-compatible with svnicp_tpu.core.pointcloud.downsample_uniform:
+//  - voxel id: floor(p / v) per axis in f32, packed 10 bits/axis;
+//  - keep the point nearest the voxel CENTER (strict <, first wins);
+//  - compact voxels in ascending (hash32(key) & -2) order (spatially
+//    uniform capacity truncation), ties by ascending key;
+//  - stage B (1.5*v) consumes stage A's output in that order.
+// ---------------------------------------------------------------------------
+
+}  // extern "C" (reopened below; the helpers need C++ linkage/templates)
+
+#include <algorithm>
+#include <unordered_map>
+
+namespace {
+
+inline uint32_t svn_hash32(uint32_t x) {
+  x ^= x >> 16; x *= 0x7FEB352Du; x ^= x >> 15; x *= 0x846CA68Bu; x ^= x >> 16;
+  return x;
+}
+
+inline int32_t svn_pack_key(const float* p, float inv_v) {
+  const int bits = 10, mask = (1 << bits) - 1, half = 1 << (bits - 1);
+  const int vx = ((int)std::floor(p[0] * inv_v) + half) & mask;
+  const int vy = ((int)std::floor(p[1] * inv_v) + half) & mask;
+  const int vz = ((int)std::floor(p[2] * inv_v) + half) & mask;
+  return (int32_t)(((uint32_t)vx << (2 * bits)) | ((uint32_t)vy << bits) |
+                   (uint32_t)vz);
+}
+
+// One uniform-downsample stage; returns count written to out (<= capacity).
+int svn_downsample_stage(const float* xyz, int n, float voxel, float* out,
+                         int capacity) {
+  const float inv_v = 1.0f / voxel;
+  struct Best { float d; int idx; };
+  std::unordered_map<int32_t, Best> best;
+  best.reserve((size_t)n * 2);
+  for (int i = 0; i < n; ++i) {
+    const float* p = xyz + 3 * i;
+    const int32_t key = svn_pack_key(p, inv_v);
+    float d = 0.0f;
+    for (int a = 0; a < 3; ++a) {
+      const float c = (std::floor(p[a] * inv_v) + 0.5f) * voxel;
+      const float e = p[a] - c;
+      d += e * e;
+    }
+    auto it = best.find(key);
+    if (it == best.end()) best.emplace(key, Best{d, i});
+    else if (d < it->second.d) it->second = Best{d, i};
+  }
+  struct Row { int32_t rank; int32_t key; int idx; };
+  std::vector<Row> rows;
+  rows.reserve(best.size());
+  for (const auto& kv : best) {
+    const int32_t rank = (int32_t)(svn_hash32((uint32_t)kv.first) & ~1u);
+    rows.push_back(Row{rank, kv.first, kv.second.idx});
+  }
+  std::sort(rows.begin(), rows.end(), [](const Row& a, const Row& b) {
+    if (a.rank != b.rank) return a.rank < b.rank;
+    return a.key < b.key;
+  });
+  const int m = (int)rows.size() < capacity ? (int)rows.size() : capacity;
+  for (int j = 0; j < m; ++j)
+    std::memcpy(out + 3 * j, xyz + 3 * rows[j].idx, sizeof(float) * 3);
+  return m;
+}
+
+}  // namespace
+
+extern "C" {
+
+// to_map = downsample(input, 0.5*voxel) capped at map_capacity;
+// source = downsample(to_map, 1.5*voxel) capped at src_capacity.
+// Outputs are zero-padded to their capacities; returns via out-params.
+void svn_downsample_two_stage(const float* xyz, int n, float voxel,
+                              float* out_map, int map_capacity, int* n_map,
+                              float* out_src, int src_capacity, int* n_src) {
+  const int m = svn_downsample_stage(xyz, n, 0.5f * voxel, out_map, map_capacity);
+  const int s = svn_downsample_stage(out_map, m, 1.5f * voxel, out_src, src_capacity);
+  std::memset(out_map + 3 * m, 0, sizeof(float) * 3 * (map_capacity - m));
+  std::memset(out_src + 3 * s, 0, sizeof(float) * 3 * (src_capacity - s));
+  *n_map = m;
+  *n_src = s;
+}
+
+// ---------------------------------------------------------------------------
 // Per-point timestamp extraction from an interleaved point record stream
 // (PointCloud2-style): `stride` bytes per point, field at `offset`.
 // dtype_code: 0 = float32, 1 = float64, 2 = uint32.

@@ -108,6 +108,13 @@ class PreprocessConfig:
     voxel_size: float = 1.0          # two-stage uniform downsample base size
     deskew: bool = False
     use_segmentation: bool = False
+    # run crop + the two-stage uniform downsample on the HOST (native C++,
+    # like the reference's CPU PCL preprocessing) instead of on-device: the
+    # upload shrinks from the raw scan to the two downsampled clouds — the
+    # remote-tunnel transfer is the measured frame-floor bottleneck. Only
+    # active when deskew and segmentation are off (both need the raw scan
+    # on device); the first (bootstrap) frame always ships raw.
+    host_downsample: bool = False
     sensor_model: str = "hdl64"      # segmentation scan geometry preset:
                                      # hdl64 | hdl32 | vlp16
     raw_capacity: int = 131072       # padded raw scan size

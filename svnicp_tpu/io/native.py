@@ -35,6 +35,13 @@ if os.path.exists(_LIB_PATH):
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
         ctypes.c_float, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    _lib.svn_downsample_two_stage.restype = None
+    _lib.svn_downsample_two_stage.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
     _lib.svn_extract_timestamps.restype = ctypes.c_int
     _lib.svn_extract_timestamps.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -89,6 +96,54 @@ def stage_scan(xyz: np.ndarray, min_range: float, max_range: float,
         _fptr(xyz), len(xyz), min_range, max_range, _fptr(out),
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), capacity)
     return out, valid.astype(bool), n
+
+
+def _np_downsample_stage(xyz: np.ndarray, voxel: float, capacity: int) -> np.ndarray:
+    """Numpy fallback of one uniform-downsample stage — same selection and
+    ordering as the native path / core.pointcloud.downsample_uniform."""
+    if len(xyz) == 0:
+        return xyz[:0]
+    bits, mask, half = 10, (1 << 10) - 1, 1 << 9
+    g = np.floor(xyz.astype(np.float32) / np.float32(voxel)).astype(np.int64)
+    key = (((g[:, 0] + half) & mask) << (2 * bits)) | \
+          (((g[:, 1] + half) & mask) << bits) | ((g[:, 2] + half) & mask)
+    key = key.astype(np.int32)
+    center = (np.floor(xyz / np.float32(voxel)) + 0.5) * np.float32(voxel)
+    d = ((xyz - center) ** 2).sum(1).astype(np.float32)
+    # stable (key, d) sort: first occurrence wins ties like the strict-< scan
+    order = np.lexsort((np.arange(len(xyz)), d, key))
+    skey = key[order]
+    first = np.concatenate([[True], skey[1:] != skey[:-1]])
+    sel = order[first]
+    x = key[sel].astype(np.uint32)
+    x ^= x >> 16; x = (x * np.uint32(0x7FEB352D)) & np.uint32(0xFFFFFFFF)
+    x ^= x >> 15; x = (x * np.uint32(0x846CA68B)) & np.uint32(0xFFFFFFFF)
+    x ^= x >> 16
+    rank = (x & np.uint32(0xFFFFFFFE)).astype(np.int32)
+    ordr = np.lexsort((key[sel], rank))
+    return xyz[sel[ordr][:capacity]]
+
+
+def downsample_two_stage(xyz: np.ndarray, voxel: float, src_capacity: int,
+                         map_capacity: int) -> tuple[np.ndarray, int, np.ndarray, int]:
+    """Host two-stage uniform downsample (see native svn_downsample_two_stage):
+    to_map = stage(input, 0.5*voxel), source = stage(to_map, 1.5*voxel).
+    Returns (map_buf [map_capacity,3] zero-padded, n_map, src_buf, n_src)."""
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    out_map = np.zeros((map_capacity, 3), np.float32)
+    out_src = np.zeros((src_capacity, 3), np.float32)
+    if _lib is None:
+        m = _np_downsample_stage(xyz, 0.5 * voxel, map_capacity)
+        s = _np_downsample_stage(m, 1.5 * voxel, src_capacity)
+        out_map[: len(m)] = m
+        out_src[: len(s)] = s
+        return out_map, len(m), out_src, len(s)
+    n_map = ctypes.c_int()
+    n_src = ctypes.c_int()
+    _lib.svn_downsample_two_stage(
+        _fptr(xyz), len(xyz), voxel, _fptr(out_map), map_capacity,
+        ctypes.byref(n_map), _fptr(out_src), src_capacity, ctypes.byref(n_src))
+    return out_map, n_map.value, out_src, n_src.value
 
 
 _DTYPES = {"f4": 0, "f8": 1, "u4": 2}

@@ -219,13 +219,16 @@ def _bootstrap_impl(cfg: PipelineConfig, state: OdometryState, frame: FrameInput
 
 
 def _odometry_step_impl(
-    cfg: PipelineConfig, state: OdometryState, frame: FrameInput, mesh=None
+    cfg: PipelineConfig, state: OdometryState, frame: FrameInput, mesh=None,
+    pre: tuple | None = None,
 ) -> tuple[OdometryState, FrameOutput]:
     """One LiDAR frame through the full pipeline (SURVEY.md §3.3).
 
     With `mesh` (a jax.sharding.Mesh with "particle"/"point" axes) the
     registration hot loop runs mesh-parallel via shard_map collectives;
     map/ESKF state stays replicated (tiny next to the point data).
+    With `pre` = (to_map, source) the host already cropped+downsampled the
+    scan (preprocess.host_downsample) and the device skips _preprocess.
     """
     dtype = jnp.dtype(cfg.dtype)
 
@@ -236,7 +239,10 @@ def _odometry_step_impl(
         state = state._replace(eskf=ekf)
 
     # --- preprocess
-    cropped, to_map, source = _preprocess(cfg, state, frame)
+    if pre is not None:
+        to_map, source = pre
+    else:
+        _, to_map, source = _preprocess(cfg, state, frame)
 
     # --- predict + fresh particle prior (re-seeded every frame, ref :573)
     guess_r, guess_t = _predict_pose(cfg, state, frame.time)
@@ -447,6 +453,39 @@ def odometry_step_packed(cfg: PipelineConfig, state: OdometryState,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
+                             ds_buf: jax.Array, imu_buf: jax.Array,
+                             meta: jax.Array):
+    """`odometry_step` over HOST-preprocessed clouds: ds_buf
+    [2*src_cap + src_cap, 3] = to_map rows then source rows (zero-padded),
+    meta [4] f64 = (stamp, n_map, n_src, n_imu). Ships ~40% of the raw-scan
+    bytes at bench shapes — the tunnel transfer is the frame-floor
+    bottleneck (see preprocess.host_downsample)."""
+    from svnicp_tpu.core.pointcloud import PaddedCloud
+
+    dtype = jnp.dtype(cfg.dtype)
+    map_cap = 2 * cfg.icp.source_capacity
+    src_cap = cfg.icp.source_capacity
+    w = imu_buf.shape[0]
+    n_map = meta[1].astype(jnp.int32)
+    n_src = meta[2].astype(jnp.int32)
+    n_imu = meta[3].astype(jnp.int32)
+    to_map = PaddedCloud(ds_buf[:map_cap],
+                         jnp.arange(map_cap, dtype=jnp.int32) < n_map)
+    source = PaddedCloud(ds_buf[map_cap:],
+                         jnp.arange(src_cap, dtype=jnp.int32) < n_src)
+    frame = FrameInput(
+        points=ds_buf[map_cap:],
+        valid=source.valid,
+        timestamps=jnp.zeros((src_cap,), dtype),
+        time=meta[0].astype(dtype),
+        imu=imu_mod.IMUSample(imu_buf[:, 0], imu_buf[:, 1:4], imu_buf[:, 4:7]),
+        imu_valid=jnp.arange(w, dtype=jnp.int32) < n_imu,
+    )
+    return _odometry_step_impl(cfg, state, frame, pre=(to_map, source))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def odometry_steps_packed(cfg: PipelineConfig, state: OdometryState,
                           scan_bufs: jax.Array, imu_bufs: jax.Array,
                           metas: jax.Array):
@@ -576,6 +615,34 @@ class LIOPipeline:
         meta = np.array([t, n, len(triples)], np.float64)
         return scan_buf, imu_buf, meta
 
+    def _pack_frame_pre(self, t: float, points: np.ndarray):
+        """Host-preprocessed staging (preprocess.host_downsample): native
+        crop + two-stage uniform downsample, packed as ONE [3*src_cap,3]
+        upload (to_map rows then source rows) + imu + meta [4]."""
+        from svnicp_tpu.io import native
+
+        r_ext = np.asarray(self.cfg.lio.extrinsic_R, np.float32).reshape(3, 3)
+        t_ext = np.asarray(self.cfg.lio.extrinsic_t, np.float32)
+        if not (np.allclose(r_ext, np.eye(3)) and np.allclose(t_ext, 0.0)):
+            points = np.asarray(points, np.float32) @ r_ext.T + t_ext
+        pts, _, n = native.stage_scan(
+            np.asarray(points, np.float32), self.cfg.preprocess.min_range,
+            self.cfg.preprocess.max_range, self.cfg.preprocess.raw_capacity)
+        src_cap = self.cfg.icp.source_capacity
+        map_buf, n_map, src_buf, n_src = native.downsample_two_stage(
+            pts[: int(n)], self.cfg.preprocess.voxel_size, src_cap, 2 * src_cap)
+        ds_buf = np.concatenate([map_buf, src_buf], axis=0).astype(self.cfg.np_dtype)
+
+        w = self.imu_window
+        triples = self._take_imu_window(t)[-w:]
+        imu_buf = np.zeros((w, 7), self.cfg.np_dtype)
+        for i, (dt, a, g) in enumerate(triples):
+            imu_buf[i, 0] = dt
+            imu_buf[i, 1:4] = a
+            imu_buf[i, 4:7] = g
+        meta = np.array([t, n_map, n_src, len(triples)], np.float64)
+        return ds_buf, imu_buf, meta
+
     def _stage_frame(self, t: float, points: np.ndarray, timestamps) -> FrameInput:
         """FrameInput form of `_pack_frame` (tests / direct step calls)."""
         scan_buf, imu_buf, meta = self._pack_frame(t, points, timestamps)
@@ -596,6 +663,21 @@ class LIOPipeline:
             t - self._last_frame_time < self.cfg.lio.frame_gap_seconds
         ):
             return None
+        pp = self.cfg.preprocess
+        host_ds = (pp.host_downsample and not pp.deskew
+                   and not pp.use_segmentation and timestamps is None
+                   and self._frames > 0)
+        if host_ds:
+            ds_buf, imu_buf, meta = self._pack_frame_pre(t, points)
+            self.state, out = odometry_step_packed_pre(self.cfg, self.state,
+                                                       ds_buf, imu_buf, meta)
+            self._frames += 1
+            self._last_frame_time = t
+            self.outputs.append(out)
+            self.times.append(t)
+            if self.posegraph is not None:
+                self._update_posegraph(t, out, points)
+            return out
         scan_buf, imu_buf, meta = self._pack_frame(t, points, timestamps)
         batch_n = self.cfg.dispatch_batch if self.posegraph is None else 1
         if self._frames == 0:

@@ -103,3 +103,45 @@ def test_scan_ring_spsc(rng):
     assert [t for _, t in received] == [float(i) for i in range(50)]
     for (got, t), want in zip(received, scans):
         np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_downsample_two_stage_native_matches_fallback(rng):
+    """C++ and numpy implementations must produce identical clouds."""
+    if not native.AVAILABLE:
+        pytest.skip("native lib not built")
+    xyz = (rng.normal(size=(5000, 3)) * 8).astype(np.float32)
+    m_n, nm_n, s_n, ns_n = native.downsample_two_stage(xyz, 1.0, 256, 512)
+    m_f = native._np_downsample_stage(xyz, 0.5, 512)
+    s_f = native._np_downsample_stage(m_f, 1.5, 256)
+    assert nm_n == len(m_f) and ns_n == len(s_f)
+    np.testing.assert_array_equal(m_n[:nm_n], m_f)
+    np.testing.assert_array_equal(s_n[:ns_n], s_f)
+
+
+def test_downsample_two_stage_matches_device_path(rng):
+    """Host downsample must reproduce core.pointcloud.downsample_uniform
+    exactly (same selection, same hash-rank compaction order)."""
+    import jax.numpy as jnp
+
+    from svnicp_tpu.core import pointcloud as pc
+
+    xyz = (rng.normal(size=(3000, 3)) * 8).astype(np.float32)
+    cap_map, cap_src = 512, 256
+    cloud = pc.PaddedCloud(jnp.asarray(xyz), jnp.ones(len(xyz), bool))
+    to_map_dev = pc.downsample_uniform(cloud, 0.5, cap_map)
+    src_dev = pc.downsample_uniform(to_map_dev, 1.5, cap_src)
+
+    m_buf, n_map, s_buf, n_src = native.downsample_two_stage(
+        xyz, 1.0, cap_src, cap_map)
+    dev_m = np.asarray(to_map_dev.points)[np.asarray(to_map_dev.valid)]
+    dev_s = np.asarray(src_dev.points)[np.asarray(src_dev.valid)]
+    assert n_map == len(dev_m) and n_src == len(dev_s)
+    np.testing.assert_allclose(m_buf[:n_map], dev_m, atol=0)
+    np.testing.assert_allclose(s_buf[:n_src], dev_s, atol=0)
+
+
+def test_downsample_capacity_truncation(rng):
+    xyz = (rng.normal(size=(4000, 3)) * 20).astype(np.float32)
+    m_buf, n_map, s_buf, n_src = native.downsample_two_stage(xyz, 0.5, 16, 32)
+    assert n_map <= 32 and n_src <= 16
+    assert np.all(m_buf[n_map:] == 0) and np.all(s_buf[n_src:] == 0)

@@ -162,6 +162,20 @@ class TestThreadedIngest:
         np.testing.assert_allclose(pipe4.trajectory(), pipe1.trajectory(),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_host_downsample_matches_device_path(self, world):
+        """preprocess.host_downsample moves crop+downsample to native C++;
+        the selection is bit-compatible so trajectories must match tightly."""
+        cfg_dev = small_cfg()
+        pipe_dev, _ = run_sequence(cfg_dev, world, n_frames=6)
+        cfg_host = dataclasses.replace(
+            cfg_dev,
+            preprocess=dataclasses.replace(cfg_dev.preprocess, host_downsample=True),
+        )
+        pipe_host, _ = run_sequence(cfg_host, world, n_frames=6)
+        assert len(pipe_host.outputs) == len(pipe_dev.outputs)
+        np.testing.assert_allclose(pipe_host.trajectory(), pipe_dev.trajectory(),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_run_threaded_matches_sequential(self, world, rng):
         cfg = small_cfg()
         times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, seed=9)
