@@ -132,7 +132,11 @@ def main():
     # warmup must compile BOTH programs: the bootstrap/per-frame step and
     # (batch>1) the scan-of-steps program — so it spans 1 + 2*batch frames
     warmup = 3 if args.batch <= 1 else 1 + 2 * args.batch
-    fps = run(n_frames=args.frames or (warmup + 40), warmup=warmup,
+    # timed frame count must be a batch multiple: a partial-batch flush would
+    # dispatch (and first-compile) the per-frame program inside the timed
+    # window
+    timed = 40 if args.batch <= 1 else ((40 + args.batch - 1) // args.batch) * args.batch
+    fps = run(n_frames=args.frames or (warmup + timed), warmup=warmup,
               use_pallas=not args.no_pallas,
               candidate_method=args.method, iterations=args.iters,
               particles=args.particles, early_stop=not args.no_early_stop,

@@ -97,11 +97,15 @@ inline uint32_t svn_hash32(uint32_t x) {
   return x;
 }
 
-inline int32_t svn_pack_key(const float* p, float inv_v) {
+// NOTE: must DIVIDE like the device path (jnp floor(p / v)); multiplying by
+// a precomputed reciprocal differs for some float32 inputs at non-power-of-
+// two voxel sizes (e.g. floor(7.4999995f * (1/1.5f)) = 5 vs floor(/1.5) = 4)
+// and would break the bit-compatibility contract.
+inline int32_t svn_pack_key(const float* p, float voxel) {
   const int bits = 10, mask = (1 << bits) - 1, half = 1 << (bits - 1);
-  const int vx = ((int)std::floor(p[0] * inv_v) + half) & mask;
-  const int vy = ((int)std::floor(p[1] * inv_v) + half) & mask;
-  const int vz = ((int)std::floor(p[2] * inv_v) + half) & mask;
+  const int vx = ((int)std::floor(p[0] / voxel) + half) & mask;
+  const int vy = ((int)std::floor(p[1] / voxel) + half) & mask;
+  const int vz = ((int)std::floor(p[2] / voxel) + half) & mask;
   return (int32_t)(((uint32_t)vx << (2 * bits)) | ((uint32_t)vy << bits) |
                    (uint32_t)vz);
 }
@@ -109,16 +113,15 @@ inline int32_t svn_pack_key(const float* p, float inv_v) {
 // One uniform-downsample stage; returns count written to out (<= capacity).
 int svn_downsample_stage(const float* xyz, int n, float voxel, float* out,
                          int capacity) {
-  const float inv_v = 1.0f / voxel;
   struct Best { float d; int idx; };
   std::unordered_map<int32_t, Best> best;
   best.reserve((size_t)n * 2);
   for (int i = 0; i < n; ++i) {
     const float* p = xyz + 3 * i;
-    const int32_t key = svn_pack_key(p, inv_v);
+    const int32_t key = svn_pack_key(p, voxel);
     float d = 0.0f;
     for (int a = 0; a < 3; ++a) {
-      const float c = (std::floor(p[a] * inv_v) + 0.5f) * voxel;
+      const float c = (std::floor(p[a] / voxel) + 0.5f) * voxel;
       const float e = p[a] - c;
       d += e * e;
     }

@@ -58,6 +58,9 @@ class SteinICPConfig:
     # jiggling (drive vs repulsion) while the mean is static, so mean_delta
     # converges even when the posterior is wide — the right criterion for
     # point_to_plane, whose softer H sustains a larger equilibrium spread.
+    # Applies to method "svn" (single-device and sharded). "svgd" keeps its
+    # reference position-difference criterion (SVGDICP.cpp:123-131) and
+    # "svd" its mean pose delta — both ignore this field.
     convergence_metric: str = "grad_norm"
     svn_full_grad: bool = False      # full second-order kernel Hessian coupling
     optimizer: str = "adam"          # svgd only: adam | rmsprop | sgd | adagrad

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from svnicp_tpu.config import SteinICPConfig
 from svnicp_tpu.core import geometry as geo
 from svnicp_tpu.core import residuals
-from svnicp_tpu.core.svn import AlignResult
+from svnicp_tpu.core.svn import AlignResult, ensemble_result
 from svnicp_tpu.kernels import knn
 
 
@@ -62,17 +62,6 @@ def _kabsch_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts,
     r_loc = jnp.einsum("ji,pjk->pik", r0, r_abs)
     t_loc = jnp.einsum("ji,pj->pi", r0, t_abs - t0[None])
     return r_loc, t_loc
-
-
-def _result_from(final_r, final_t, it, delta, dtype) -> AlignResult:
-    p = final_r.shape[0]
-    particles = jnp.concatenate([final_t, geo.bso3_log(final_r)], axis=-1)
-    weights = jnp.full((p,), 1.0 / p, dtype)
-    mean = jnp.sum(particles * weights[:, None], axis=0)
-    centered = particles - mean[None, :]
-    var = jnp.sum(weights[:, None] * centered * centered, axis=0)
-    cov = jnp.einsum("p,pi,pj->ij", weights, centered, centered)
-    return AlignResult(particles, weights, mean, var, cov, it, delta)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -112,7 +101,7 @@ def align(
         jnp.asarray(jnp.inf, source.dtype), jnp.zeros((), bool),
     )
     final = jax.lax.while_loop(cond, body, init)
-    return _result_from(final.r, final.t, final.it, final.delta, source.dtype)
+    return ensemble_result(final.r, final.t, final.it, final.delta)
 
 
 def register(

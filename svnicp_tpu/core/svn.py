@@ -25,7 +25,6 @@ Reference behavioral quirks reproduced deliberately (SURVEY.md §7.5):
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple
 
 import jax
@@ -38,12 +37,12 @@ from svnicp_tpu.kernels import knn
 
 
 def _pallas_ok() -> bool:
-    """Pallas kernels compile only on TPU; interpret-mode tests opt in via
-    SVNICP_PALLAS_INTERPRET=1 (used with pltpu.force_tpu_interpret_mode)."""
-    return (
-        jax.default_backend() == "tpu"
-        or os.environ.get("SVNICP_PALLAS_INTERPRET") == "1"
-    )
+    """Single source of truth for Pallas eligibility lives in nn_pallas
+    (kernels and callers must agree); kept as a local name for the hot-path
+    call sites."""
+    from svnicp_tpu.kernels import nn_pallas
+
+    return nn_pallas.pallas_ok()
 
 
 class AlignResult(NamedTuple):
@@ -175,6 +174,22 @@ def _pose_update(r, t, stein_grad):
     dt_l = jnp.einsum("pij,pj->pi", jl, dt)
     t_new = jnp.einsum("pij,pj->pi", r_new, dt_l) + t
     return r_new, t_new
+
+
+def ensemble_result(r: jax.Array, t: jax.Array, iterations: jax.Array,
+                    grad_norm: jax.Array) -> AlignResult:
+    """AlignResult statistics from final particle poses: uniform weights,
+    weighted mean/var/cov (ref: SVNICP.cpp:281-308). The single place these
+    are defined — the ESKF update consumes var/cov, so every method (svn,
+    svgd history, svd) must produce them identically."""
+    particles = _particle_coords(r, t)
+    p = particles.shape[0]
+    weights = jnp.full((p,), 1.0 / p, particles.dtype)
+    mean = jnp.sum(particles * weights[:, None], axis=0)
+    centered = particles - mean[None, :]
+    var = jnp.sum(weights[:, None] * centered * centered, axis=0)
+    cov = jnp.einsum("p,pi,pj->ij", weights, centered, centered)
+    return AlignResult(particles, weights, mean, var, cov, iterations, grad_norm)
 
 
 def _particle_coords(r, t):
@@ -356,7 +371,6 @@ def align(
     Returns the local correction distribution relative to (r0, t0); compose
     `guess * exp(mean)` for the frame pose (ref: OdometryPipeline.cpp:615).
     """
-    p = init_particles.shape[0]
     r_init = geo.bso3_exp(init_particles[:, 3:])
     t_init = init_particles[:, :3]
 
@@ -396,13 +410,7 @@ def align(
     )
     final = jax.lax.while_loop(cond, body, init)
 
-    particles = _particle_coords(final.r, final.t)
-    weights = jnp.full((p,), 1.0 / p, source.dtype)
-    mean = jnp.sum(particles * weights[:, None], axis=0)
-    centered = particles - mean[None, :]
-    var = jnp.sum(weights[:, None] * centered * centered, axis=0)
-    cov = jnp.einsum("p,pi,pj->ij", weights, centered, centered)
-    return AlignResult(particles, weights, mean, var, cov, final.it, final.grad_norm)
+    return ensemble_result(final.r, final.t, final.it, final.grad_norm)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -415,7 +423,6 @@ def align_with_history(
     `cfg.iterations` epochs with frozen updates after convergence."""
     r_init = geo.bso3_exp(init_particles[:, 3:])
     t_init = init_particles[:, :3]
-    p = init_particles.shape[0]
 
     cand_pts, cand_valid, normals, feat, bias, prep = _prepare_align(
         cfg, source, src_valid, cand_pts, cand_valid)
@@ -445,13 +452,7 @@ def align_with_history(
     )
     final, history = jax.lax.scan(body, init, None, length=cfg.iterations)
 
-    particles = _particle_coords(final.r, final.t)
-    weights = jnp.full((p,), 1.0 / p, source.dtype)
-    mean = jnp.sum(particles * weights[:, None], axis=0)
-    centered = particles - mean[None, :]
-    var = jnp.sum(weights[:, None] * centered * centered, axis=0)
-    cov = jnp.einsum("p,pi,pj->ij", weights, centered, centered)
-    result = AlignResult(particles, weights, mean, var, cov, final.it, final.grad_norm)
+    result = ensemble_result(final.r, final.t, final.it, final.grad_norm)
     return result, history
 
 

@@ -129,16 +129,17 @@ def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_va
     r_new = jnp.matmul(r, dr, precision=jax.lax.Precision.HIGHEST)
     t_new = jnp.einsum("pij,pj->pi", r_new, jnp.einsum("pij,pj->pi", jl, dt_)) + t
 
+    grad_norm = jax.lax.pmean(
+        jnp.mean(jnp.linalg.norm(stein_grad, axis=1)), PARTICLE_AXIS
+    )
     if cfg.convergence_metric == "mean_delta":
         # drift of the FULL ensemble mean: pmean of the local mean update
         mean_step = jax.lax.pmean(jnp.mean(stein_grad, axis=0), PARTICLE_AXIS)
         stop_stat = jnp.linalg.norm(mean_step)
     else:
-        stop_stat = jax.lax.pmean(
-            jnp.mean(jnp.linalg.norm(stein_grad, axis=1)), PARTICLE_AXIS
-        )
+        stop_stat = grad_norm
     del p_local
-    return r_new, t_new, stop_stat
+    return r_new, t_new, grad_norm, stop_stat
 
 
 def sharded_align(
@@ -172,12 +173,12 @@ def sharded_align(
 
         def step(state):
             r_, t_, it, gn, done = state
-            r_n, t_n, stop_stat = _sharded_iteration(
+            r_n, t_n, grad_norm, stop_stat = _sharded_iteration(
                 cfg, source_l, src_valid_l, cand_l, cand_valid_l, feat, bias,
                 normals, r0_l, t0_l, r_, t_
             )
             done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
-            return (r_n, t_n, it + 1, stop_stat, done)
+            return (r_n, t_n, it + 1, grad_norm, done)
 
         init_state = (r, t, jnp.zeros((), jnp.int32),
                       jnp.asarray(jnp.inf, source_l.dtype), jnp.zeros((), bool))

@@ -275,12 +275,12 @@ def sharded_register_with_map(
 
         def step(state):
             r_, t_, it, gn, done = state
-            r_n, t_n, stop_stat = sharding._sharded_iteration(
+            r_n, t_n, grad_norm, stop_stat = sharding._sharded_iteration(
                 cfg, source_l, src_valid_l, cand_pts, cand_valid, feat, bias,
                 normals, r0_l, t0_l, r_, t_,
             )
             done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
-            return (r_n, t_n, it + 1, stop_stat, done)
+            return (r_n, t_n, it + 1, grad_norm, done)
 
         init_state = (r, t, jnp.zeros((), jnp.int32),
                       jnp.asarray(jnp.inf, source_l.dtype), jnp.zeros((), bool))

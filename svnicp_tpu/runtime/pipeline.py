@@ -490,9 +490,9 @@ def odometry_steps_packed(cfg: PipelineConfig, state: OdometryState,
                           scan_bufs: jax.Array, imu_bufs: jax.Array,
                           metas: jax.Array):
     """`odometry_step_packed` over a [F,...] batch of staged frames as one
-    jitted lax.scan — ONE program launch for F frames. On a remote-tunnel
-    device each launch costs ~5 ms of admission gap (measured; device-busy
-    time per frame was 7 ms), so batching nearly doubles offline throughput.
+    jitted lax.scan — ONE program launch for F frames (see
+    PipelineConfig.dispatch_batch; measured slower than per-frame dispatch
+    on the axon tunnel, kept for backends with costly launches).
     Returns (final state, FrameOutput pytree with a leading F axis)."""
 
     def body(st, inp):
@@ -500,6 +500,20 @@ def odometry_steps_packed(cfg: PipelineConfig, state: OdometryState,
         return _odometry_step_impl(cfg, st, _unpack_frame(cfg, sb, ib, mb))
 
     return jax.lax.scan(body, state, (scan_bufs, imu_bufs, metas))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_steps_packed_pre(cfg: PipelineConfig, state: OdometryState,
+                              ds_bufs: jax.Array, imu_bufs: jax.Array,
+                              metas: jax.Array):
+    """Batched form of `odometry_step_packed_pre` (host-preprocessed
+    frames), so dispatch_batch and preprocess.host_downsample compose."""
+
+    def body(st, inp):
+        db, ib, mb = inp
+        return odometry_step_packed_pre(cfg, st, db, ib, mb)
+
+    return jax.lax.scan(body, state, (ds_bufs, imu_bufs, metas))
 
 
 @dataclasses.dataclass
@@ -529,6 +543,7 @@ class LIOPipeline:
         self.times: list[float] = []
         self.posegraph = None
         self._batch: list = []
+        self._batch_kind: str = "raw"
         self._keyframe_clouds: list[tuple[np.ndarray, np.ndarray]] = []
         self.loop_closures: list[tuple[int, int]] = []
         if self.cfg.posegraph.enabled:
@@ -582,12 +597,7 @@ class LIOPipeline:
         staging paths produce prefix-valid rows, so validity travels as the
         counts in `meta` instead of two boolean arrays."""
         cap = self.cfg.preprocess.raw_capacity
-        # lidar -> IMU extrinsic compensation at ingest
-        # (ref: OdometryPipeline.cpp:349 transformPointCloud by T_lidar_imu)
-        r_ext = np.asarray(self.cfg.lio.extrinsic_R, np.float32).reshape(3, 3)
-        t_ext = np.asarray(self.cfg.lio.extrinsic_t, np.float32)
-        if not (np.allclose(r_ext, np.eye(3)) and np.allclose(t_ext, 0.0)):
-            points = np.asarray(points, np.float32) @ r_ext.T + t_ext
+        points = self._apply_extrinsic(points)
         scan_buf = np.zeros((cap, 4), self.cfg.np_dtype)
         if timestamps is None:
             # native one-pass crop+pad (timestamp path must keep point order
@@ -605,6 +615,20 @@ class LIOPipeline:
             scan_buf[:n, :3] = points[:n]
             scan_buf[:n, 3] = np.asarray(timestamps[:n])
 
+        imu_buf, n_imu = self._pack_imu(t)
+        meta = np.array([t, n, n_imu], np.float64)
+        return scan_buf, imu_buf, meta
+
+    def _apply_extrinsic(self, points: np.ndarray) -> np.ndarray:
+        """lidar -> IMU extrinsic compensation at ingest
+        (ref: OdometryPipeline.cpp:349 transformPointCloud by T_lidar_imu)."""
+        r_ext = np.asarray(self.cfg.lio.extrinsic_R, np.float32).reshape(3, 3)
+        t_ext = np.asarray(self.cfg.lio.extrinsic_t, np.float32)
+        if np.allclose(r_ext, np.eye(3)) and np.allclose(t_ext, 0.0):
+            return points
+        return np.asarray(points, np.float32) @ r_ext.T + t_ext
+
+    def _pack_imu(self, t: float) -> tuple[np.ndarray, int]:
         w = self.imu_window
         triples = self._take_imu_window(t)[-w:]
         imu_buf = np.zeros((w, 7), self.cfg.np_dtype)
@@ -612,8 +636,7 @@ class LIOPipeline:
             imu_buf[i, 0] = dt
             imu_buf[i, 1:4] = a
             imu_buf[i, 4:7] = g
-        meta = np.array([t, n, len(triples)], np.float64)
-        return scan_buf, imu_buf, meta
+        return imu_buf, len(triples)
 
     def _pack_frame_pre(self, t: float, points: np.ndarray):
         """Host-preprocessed staging (preprocess.host_downsample): native
@@ -621,10 +644,7 @@ class LIOPipeline:
         upload (to_map rows then source rows) + imu + meta [4]."""
         from svnicp_tpu.io import native
 
-        r_ext = np.asarray(self.cfg.lio.extrinsic_R, np.float32).reshape(3, 3)
-        t_ext = np.asarray(self.cfg.lio.extrinsic_t, np.float32)
-        if not (np.allclose(r_ext, np.eye(3)) and np.allclose(t_ext, 0.0)):
-            points = np.asarray(points, np.float32) @ r_ext.T + t_ext
+        points = self._apply_extrinsic(points)
         pts, _, n = native.stage_scan(
             np.asarray(points, np.float32), self.cfg.preprocess.min_range,
             self.cfg.preprocess.max_range, self.cfg.preprocess.raw_capacity)
@@ -632,15 +652,8 @@ class LIOPipeline:
         map_buf, n_map, src_buf, n_src = native.downsample_two_stage(
             pts[: int(n)], self.cfg.preprocess.voxel_size, src_cap, 2 * src_cap)
         ds_buf = np.concatenate([map_buf, src_buf], axis=0).astype(self.cfg.np_dtype)
-
-        w = self.imu_window
-        triples = self._take_imu_window(t)[-w:]
-        imu_buf = np.zeros((w, 7), self.cfg.np_dtype)
-        for i, (dt, a, g) in enumerate(triples):
-            imu_buf[i, 0] = dt
-            imu_buf[i, 1:4] = a
-            imu_buf[i, 4:7] = g
-        meta = np.array([t, n_map, n_src, len(triples)], np.float64)
+        imu_buf, n_imu = self._pack_imu(t)
+        meta = np.array([t, n_map, n_src, n_imu], np.float64)
         return ds_buf, imu_buf, meta
 
     def _stage_frame(self, t: float, points: np.ndarray, timestamps) -> FrameInput:
@@ -667,39 +680,39 @@ class LIOPipeline:
         host_ds = (pp.host_downsample and not pp.deskew
                    and not pp.use_segmentation and timestamps is None
                    and self._frames > 0)
-        if host_ds:
-            ds_buf, imu_buf, meta = self._pack_frame_pre(t, points)
-            self.state, out = odometry_step_packed_pre(self.cfg, self.state,
-                                                       ds_buf, imu_buf, meta)
-            self._frames += 1
-            self._last_frame_time = t
-            self.outputs.append(out)
-            self.times.append(t)
-            if self.posegraph is not None:
-                self._update_posegraph(t, out, points)
-            return out
-        scan_buf, imu_buf, meta = self._pack_frame(t, points, timestamps)
         batch_n = self.cfg.dispatch_batch if self.posegraph is None else 1
         if self._frames == 0:
+            scan_buf, imu_buf, meta = self._pack_frame(t, points, timestamps)
             self.state, out = bootstrap_packed(self.cfg, self.state,
                                                scan_buf, imu_buf, meta)
-        elif batch_n > 1:
+            self._record_frame(t, out, points)
+            return out
+
+        kind = "pre" if host_ds else "raw"
+        bufs = (self._pack_frame_pre(t, points) if host_ds
+                else self._pack_frame(t, points, timestamps))
+        if batch_n > 1:
+            if self._batch and self._batch_kind != kind:
+                self.flush()     # staging layout changed mid-stream
+            self._batch_kind = kind
             self._frames += 1
             self._last_frame_time = t
-            self._batch.append((scan_buf, imu_buf, meta, t))
+            self._batch.append((*bufs, t))
             if len(self._batch) < batch_n:
                 return None
             return self._flush_batch()
-        else:
-            self.state, out = odometry_step_packed(self.cfg, self.state,
-                                                   scan_buf, imu_buf, meta)
+        step = odometry_step_packed_pre if host_ds else odometry_step_packed
+        self.state, out = step(self.cfg, self.state, *bufs)
+        self._record_frame(t, out, points)
+        return out
+
+    def _record_frame(self, t: float, out: FrameOutput, points) -> None:
         self._frames += 1
         self._last_frame_time = t
         self.outputs.append(out)
         self.times.append(t)
         if self.posegraph is not None:
             self._update_posegraph(t, out, points)
-        return out
 
     def _flush_batch(self) -> FrameOutput | None:
         """Dispatch the buffered frames as one scan program and unstack."""
@@ -707,17 +720,19 @@ class LIOPipeline:
             return None
         items = self._batch
         self._batch = []
+        step = (odometry_step_packed_pre if self._batch_kind == "pre"
+                else odometry_step_packed)
+        steps = (odometry_steps_packed_pre if self._batch_kind == "pre"
+                 else odometry_steps_packed)
         if len(items) == 1:
             # avoid a distinct scan-length compilation for a lone remainder
-            sb, ib, mb, t = items[0]
-            self.state, out = odometry_step_packed(self.cfg, self.state, sb, ib, mb)
+            b0, b1, b2, t = items[0]
+            self.state, out = step(self.cfg, self.state, b0, b1, b2)
             self.outputs.append(out)
             self.times.append(t)
             return out
-        sbs = np.stack([it[0] for it in items])
-        ibs = np.stack([it[1] for it in items])
-        mbs = np.stack([it[2] for it in items])
-        self.state, outs = odometry_steps_packed(self.cfg, self.state, sbs, ibs, mbs)
+        stacked = [np.stack([it[i] for it in items]) for i in range(3)]
+        self.state, outs = steps(self.cfg, self.state, *stacked)
         last = None
         for i, it in enumerate(items):
             last = jax.tree.map(lambda a, i=i: a[i], outs)
@@ -728,12 +743,14 @@ class LIOPipeline:
     def flush(self) -> FrameOutput | None:
         """Drain a partially-filled dispatch batch (no-op in live mode).
         Returns the last frame's output, or None if nothing was pending."""
+        step = (odometry_step_packed_pre if self._batch_kind == "pre"
+                else odometry_step_packed)
         last = None
         while self._batch:
             # drain one-by-one: a partial batch has a different scan length,
             # and per-frame dispatch avoids compiling a program per length
-            sb, ib, mb, t = self._batch.pop(0)
-            self.state, out = odometry_step_packed(self.cfg, self.state, sb, ib, mb)
+            b0, b1, b2, t = self._batch.pop(0)
+            self.state, out = step(self.cfg, self.state, b0, b1, b2)
             self.outputs.append(out)
             self.times.append(t)
             last = out

@@ -145,3 +145,23 @@ def test_downsample_capacity_truncation(rng):
     m_buf, n_map, s_buf, n_src = native.downsample_two_stage(xyz, 0.5, 16, 32)
     assert n_map <= 32 and n_src <= 16
     assert np.all(m_buf[n_map:] == 0) and np.all(s_buf[n_src:] == 0)
+
+
+def test_downsample_boundary_values_match_device():
+    """floor(p / v) vs floor(p * (1/v)) differ for some float32 inputs at
+    non-power-of-two voxel sizes (e.g. 7.4999995 at v=1.5) — the native
+    kernel must divide exactly like the device path."""
+    import jax.numpy as jnp
+
+    from svnicp_tpu.core import pointcloud as pc
+
+    vals = np.array([7.4999995, -7.4999995, 4.4999995, 1.4999999,
+                     2.9999998, 10.499999, 0.0, 1.5], np.float32)
+    xyz = np.stack([vals, vals * 0.5, -vals], axis=1).astype(np.float32)
+    cloud = pc.PaddedCloud(jnp.asarray(xyz), jnp.ones(len(xyz), bool))
+    dev = pc.downsample_uniform(cloud, 0.75, 16)   # = 0.5 * voxel 1.5
+    dev_pts = np.asarray(dev.points)[np.asarray(dev.valid)]
+
+    m_buf, n_map, _, _ = native.downsample_two_stage(xyz, 1.5, 16, 16)
+    assert n_map == len(dev_pts)
+    np.testing.assert_array_equal(m_buf[:n_map], dev_pts)

@@ -176,6 +176,26 @@ class TestThreadedIngest:
         np.testing.assert_allclose(pipe_host.trajectory(), pipe_dev.trajectory(),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_host_downsample_with_batched_dispatch(self, world):
+        """host_downsample and dispatch_batch must compose (regression: the
+        host path used to bypass the batching logic entirely)."""
+        cfg_ref = small_cfg(preprocess=dataclasses.replace(
+            small_cfg().preprocess, host_downsample=True))
+        pipe_ref, _ = run_sequence(cfg_ref, world, n_frames=7)
+        cfg_b = dataclasses.replace(cfg_ref, dispatch_batch=3)
+        pipe_b = pl.LIOPipeline(cfg_b)
+        times, rots, trans = datasets.synthetic_trajectory(7, dt=0.1, speed=1.2, seed=5)
+        rng2 = np.random.default_rng(5)
+        rets = []
+        for i in range(7):
+            scan = world.scan_at(rng2, rots[i], trans[i], n_points=4000, noise=0.01)
+            rets.append(pipe_b.feed_scan(float(times[i]), scan))
+        pipe_b.flush()
+        assert rets[1] is None and rets[3] is not None  # batching engaged
+        assert len(pipe_b.outputs) == 7
+        np.testing.assert_allclose(pipe_b.trajectory(), pipe_ref.trajectory(),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_run_threaded_matches_sequential(self, world, rng):
         cfg = small_cfg()
         times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, seed=9)
