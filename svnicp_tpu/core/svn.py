@@ -218,6 +218,21 @@ def correspondence_features(source: jax.Array, cand_pts: jax.Array,
     return feat.reshape(bsz * k, 12), bias
 
 
+def _pick_point_tile_kb(ptile: int, bsz: int, k: int) -> int:
+    """Point tile for the K-on-sublane plane kernel: the live VMEM residents
+    are the score/hit pair (2*pt*k*bt f32) plus the double-buffered feat
+    ([13,k,bt]) and ndotc ([k,bt]) blocks; same 11 MB pipelining budget as
+    `_pick_point_tile`, but tiles must be 128-multiples (free minor-dim
+    split in the kernel)."""
+    for bt in (512, 256, 128):
+        if bsz % bt:
+            continue
+        est = 4 * (2 * ptile * k * bt + 2 * 14 * k * bt + 10 * ptile * bt)
+        if est <= 11 * 1024 * 1024:
+            return bt
+    return 128 if bsz % 128 == 0 else bsz
+
+
 def _pick_point_tile(ptile: int, bsz: int, k: int) -> int:
     """Largest point tile whose fused-moments working set fits scoped VMEM.
 
@@ -269,13 +284,17 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
         # 128-multiple for very large ensembles)
         ptile = p if p <= 128 else next(
             (d for d in (256, 128) if p % d == 0), p)
-        btile = _pick_point_tile(ptile, bsz, k)
         if normals is not None:
-            hess, b = nn_pallas.fused_moments_plane_prepared(
+            # K-on-sublane kernel: k here is the TRUE candidate count
+            # (multiple of 8), not lane-padded — see nn_pallas kb layout
+            kk = pallas_prep[1].shape[0]
+            btile = _pick_point_tile_kb(ptile, bsz, kk)
+            hess, b = nn_pallas.fused_moments_plane_kb(
                 params, *pallas_prep, cfg.max_dist,
                 particle_tile=ptile, point_tile=btile,
             )
         else:
+            btile = _pick_point_tile(ptile, bsz, k)
             hess, b = nn_pallas.fused_moments_prepared(
                 params, *pallas_prep, cfg.max_dist,
                 particle_tile=ptile, point_tile=btile,
@@ -333,21 +352,25 @@ def _prepare_align(cfg, source, src_valid, cand_pts, cand_valid):
     align_with_history: K-padding for the Pallas path, plane normals,
     correspondence features, and the prepared kernel operands."""
     use_pallas = cfg.use_pallas and _pallas_ok()
+    plane = cfg.residual == "point_to_plane"
     if use_pallas:
         from svnicp_tpu.kernels import nn_pallas
 
-        cand_pts, cand_valid = nn_pallas.pad_candidates(cand_pts, cand_valid)
+        # plane path runs the K-on-sublane kernel at TRUE K (multiple of 8);
+        # point-to-point keeps the lane-axis kernel (K padded to 128)
+        cand_pts, cand_valid = nn_pallas.pad_candidates(
+            cand_pts, cand_valid, multiple=8 if plane else 128)
     normals = None
-    if cfg.residual == "point_to_plane":
+    if plane:
         normals = residuals.plane_normals(cand_pts, cand_valid)
     feat, bias = correspondence_features(source, cand_pts, cand_valid)
     prep = None
-    if use_pallas and cand_pts.shape[1] % 128 == 0:
+    if use_pallas and (plane or cand_pts.shape[1] % 128 == 0):
         from svnicp_tpu.kernels import nn_pallas
 
         if normals is not None:
             n_vec, n_valid = normals
-            prep = nn_pallas.prepare_moments_plane(
+            prep = nn_pallas.prepare_moments_plane_kb(
                 feat, bias, cand_pts, source, n_vec, n_valid & src_valid)
         else:
             prep = nn_pallas.prepare_moments(feat, bias, cand_pts, source,

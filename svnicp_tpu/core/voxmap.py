@@ -70,6 +70,20 @@ def _first_point_per_run(sorted_key: jax.Array) -> jax.Array:
     return jax.lax.cummax(jnp.where(first, idx, 0))
 
 
+def _first_run_flag(sorted_key: jax.Array, flag: jax.Array) -> jax.Array:
+    """Broadcast a per-row boolean from each run's FIRST row to the whole run
+    (rows key-sorted). Equivalent to `flag[_first_point_per_run(key)]` but
+    gather-free: the run-start index rides the high bits of one cummax and
+    the bit rides the LSB (a random [N] gather measured ~1 ms at map sizes
+    on v5e; this is a single int32 scan)."""
+    n = sorted_key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
+    packed = jnp.where(first, idx * 2 + flag.astype(jnp.int32), 0)
+    return (jax.lax.cummax(packed) & 1).astype(bool)
+
+
 @functools.partial(jax.jit, static_argnames=("voxel_size", "max_points_per_voxel", "max_range"))
 def insert(
     vmap_state: VoxelMap,
@@ -106,10 +120,9 @@ def insert(
     keep = (skey != INVALID_KEY) & (rank < max_points_per_voxel)
 
     # whole-voxel eviction by the first point's distance (reference
-    # semantics); one elementwise distance pass + one gather instead of a
-    # [N,3] gather of the first points
+    # semantics); one elementwise distance pass + a gather-free run broadcast
     d2 = (sx - pose_t[0]) ** 2 + (sy - pose_t[1]) ** 2 + (sz - pose_t[2]) ** 2
-    keep &= d2[start] <= max_range * max_range
+    keep &= _first_run_flag(skey, d2 <= max_range * max_range)
 
     kept_total = jnp.sum(keep)
 
@@ -165,9 +178,9 @@ def query_radius(
     """
     from svnicp_tpu.core.pointcloud import hash32
 
-    start = _first_point_per_run(vmap_state.key)
     d2 = jnp.sum((vmap_state.points - center[None, :]) ** 2, axis=-1)
-    in_radius = vmap_state.valid & (d2[start] <= radius * radius)
+    in_radius = vmap_state.valid & _first_run_flag(
+        vmap_state.key, d2 <= radius * radius)
     any_hit = jnp.any(in_radius)
     selected = jnp.where(any_hit, in_radius, vmap_state.valid)
 

@@ -321,65 +321,75 @@ def fused_moments_prepared(
     return h, bvec
 
 
-def _plane_moments_kernel(max_dist_ref, params_ref, feat_t_ref, cand2_t_ref,
-                          src_t_ref, nrm_t_ref, valid_ref, mom_ref):
-    """Point-to-plane correspondence + GN moments, fully fused.
+def fused_moments_plane(
+    params: jax.Array,        # [P,12]
+    feat: jax.Array,          # [B*K,12]
+    bias: jax.Array,          # [B,K] (+inf at invalid slots)
+    cand_pts: jax.Array,      # [B,K,3]
+    source: jax.Array,        # [B,3]
+    normals: jax.Array,       # [B,3] unit plane normals (residuals.plane_normals)
+    valid: jax.Array,         # [B] bool: src_valid & plane_valid
+    max_dist: float,
+    particle_tile: int = 64,
+    point_tile: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused point-to-plane pass: H [P,6,6], b [P,6] straight from the
+    candidate sets (plane analogue of `fused_moments`). Convenience wrapper
+    over the K-on-sublane kernel (tests / one-shot callers)."""
+    prep = prepare_moments_plane_kb(feat, bias, cand_pts, source, normals,
+                                    valid)
+    return fused_moments_plane_kb(params, *prep, max_dist,
+                                  particle_tile=particle_tile,
+                                  point_tile=point_tile, interpret=interpret)
 
-    Same score/argmin structure as `_moments_kernel`, but the matched
-    contraction only needs the SCALAR n_b . q (folded as a candidate channel
-    computed once per frame) — cheaper than the point-to-point 4-channel
-    gather. The per-point gradient direction g = [R^T n ; s x (R^T n)]
-    depends only on the particle rotation and loop-invariant (s, n), so
-    H = sum w g g^T and b = sum (w r) g reduce to 27 lane sums
-    (21 upper-triangle H entries + 6 b entries).
 
-    Output mom[n_j, 32, P]; rows 0..20 = H upper triangle row-major
-    ((0,0),(0,1),...,(5,5)), rows 21..26 = b, rest zero pad.
+def _plane_moments_kernel_kb(max_dist_ref, params_ref, feat_kb_ref, ndotc_ref,
+                             src_t_ref, nrm_t_ref, valid_ref, mom_ref):
+    """Point-to-plane moments with K on SUBLANES (points on lanes).
+
+    The `_plane_moments_kernel` layout puts K on the 128-wide lane axis, so
+    K=32 (the flagship operating point) is lane-padded 4x and every pass
+    over the [Pt,Bt,K] score chain does 4x the work. Here the score tensor
+    is [Pt,K,Bt]: points ride the lanes at full width, K rides sublanes at
+    its true size (any multiple of 8), the K-reduction is a cheap
+    cross-sublane min, and the matched n.q needs no one-hot matmul or
+    transpose — just a broadcast multiply + sublane sum.
     """
     pt = params_ref.shape[0]
-    bt = cand2_t_ref.shape[0]
-    k = cand2_t_ref.shape[2]
+    k, bt = ndotc_ref.shape
     max_dist = max_dist_ref[0]
 
     score = jax.lax.dot_general(
-        params_ref[:], feat_t_ref[:],
+        params_ref[:], feat_kb_ref[:].reshape(13, k * bt),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(pt, bt, k)
-    best = jnp.min(score, axis=-1)                            # [Pt,Bt]
-    hit = (score == best[..., None]).astype(jnp.float32)
-    matched2 = jax.lax.dot_general(
-        jnp.swapaxes(hit, 0, 1), cand2_t_ref[:],
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                          # [Bt,Pt,2]
-    matched2 = jnp.transpose(matched2, (1, 2, 0))              # [Pt,2,Bt]
-    nq = matched2[:, 0, :] / jnp.maximum(matched2[:, 1, :], 1.0)  # n.q*
+    ).reshape(pt, k, bt)
+    best = jnp.min(score, axis=1)                              # [Pt,Bt]
+    hit = (score == best[:, None, :]).astype(jnp.float32)      # [Pt,K,Bt]
+    cnt = jnp.sum(hit, axis=1)                                 # [Pt,Bt]
+    nqs = jnp.sum(hit * ndotc_ref[:][None], axis=1)
+    nq = nqs / jnp.maximum(cnt, 1.0)                           # n.q* (tie-avg)
 
     src_rows = [src_t_ref[j, :] for j in range(3)]             # 3 x [Bt]
     nrm_rows = [nrm_t_ref[j, :] for j in range(3)]
-    transformed = jnp.stack(
-        [
-            params_ref[:, 3 * i + 0][:, None] * src_rows[0][None, :]
-            + params_ref[:, 3 * i + 1][:, None] * src_rows[1][None, :]
-            + params_ref[:, 3 * i + 2][:, None] * src_rows[2][None, :]
-            + params_ref[:, 9 + i][:, None]
-            for i in range(3)
-        ],
-        axis=1,
-    )                                                          # [Pt,3,Bt]
-    t2 = jnp.sum(transformed * transformed, axis=1)            # [Pt,Bt]
+    # |T s|^2 without materializing [Pt,3,Bt]: accumulate per component
+    t2 = jnp.zeros((pt, bt), jnp.float32)
+    for i in range(3):
+        ti = (params_ref[:, 3 * i + 0][:, None] * src_rows[0][None, :]
+              + params_ref[:, 3 * i + 1][:, None] * src_rows[1][None, :]
+              + params_ref[:, 3 * i + 2][:, None] * src_rows[2][None, :]
+              + params_ref[:, 9 + i][:, None])
+        t2 = t2 + ti * ti
     d2 = jnp.maximum(best + t2, 0.0)
     gate = ((d2 < max_dist) & (best < jnp.float32(1e30))).astype(jnp.float32)
 
-    # u = R_c^T n per particle, unrolled (R row-major in params[:, :9])
     u = [
         params_ref[:, 0 + j][:, None] * nrm_rows[0][None, :]
         + params_ref[:, 3 + j][:, None] * nrm_rows[1][None, :]
         + params_ref[:, 6 + j][:, None] * nrm_rows[2][None, :]
         for j in range(3)
     ]                                                          # 3 x [Pt,Bt]
-    # residual r = n.(T s) - n.q* = (R^T n).s + n.t - n.q*
     nts = (u[0] * src_rows[0][None, :] + u[1] * src_rows[1][None, :]
            + u[2] * src_rows[2][None, :])
     ntt = (params_ref[:, 9][:, None] * nrm_rows[0][None, :]
@@ -407,48 +417,26 @@ def _plane_moments_kernel(max_dist_ref, params_ref, feat_t_ref, cand2_t_ref,
 
 
 @jax.jit
-def prepare_moments_plane(feat, bias, cand_pts, source, normals, valid):
-    """Loop-invariant operand prep for `fused_moments_plane_prepared`
-    (see prepare_moments for why this is split out of the iteration)."""
+def prepare_moments_plane_kb(feat, bias, cand_pts, source, normals, valid):
+    """Loop-invariant prep for `fused_moments_plane_kb` (K-on-sublane
+    layout): features and n.c go K-major so each point tile is contiguous."""
     b, k = bias.shape
-    feat13_t = jnp.concatenate([-2.0 * feat, bias.reshape(b * k, 1)], axis=1).T
-    # channel 0: n_b . c_bk (loop-invariant); channel 1: hit counter
-    ndotc = jnp.einsum("bkd,bd->bk", cand_pts, normals,
-                       precision=jax.lax.Precision.HIGHEST)
-    cand2_t = jnp.stack([ndotc, jnp.ones_like(ndotc)], axis=1)  # [B,2,K]
+    feat13 = jnp.concatenate([-2.0 * feat.reshape(b, k, 12),
+                              bias[..., None]], axis=-1)       # [B,K,13]
+    feat13_kb = jnp.transpose(feat13, (2, 1, 0))               # [13,K,B]
+    ndotc = jnp.einsum("bkd,bd->kb", cand_pts, normals,
+                       precision=jax.lax.Precision.HIGHEST)    # [K,B]
     src_t = source.T
     nrm_t = normals.T
     vmask = valid.astype(jnp.float32).reshape(1, b)
-    return feat13_t, cand2_t, src_t, nrm_t, vmask
-
-
-def fused_moments_plane(
-    params: jax.Array,        # [P,12]
-    feat: jax.Array,          # [B*K,12]
-    bias: jax.Array,          # [B,K] (+inf at invalid slots)
-    cand_pts: jax.Array,      # [B,K,3]
-    source: jax.Array,        # [B,3]
-    normals: jax.Array,       # [B,3] unit plane normals (residuals.plane_normals)
-    valid: jax.Array,         # [B] bool: src_valid & plane_valid
-    max_dist: float,
-    particle_tile: int = 64,
-    point_tile: int = 256,
-    interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """Fused point-to-plane pass: H [P,6,6], b [P,6] straight from the
-    candidate sets (plane analogue of `fused_moments`)."""
-    prep = prepare_moments_plane(feat, bias, cand_pts, source, normals, valid)
-    return fused_moments_plane_prepared(params, *prep, max_dist,
-                                        particle_tile=particle_tile,
-                                        point_tile=point_tile,
-                                        interpret=interpret)
+    return feat13_kb, ndotc, src_t, nrm_t, vmask
 
 
 @functools.partial(jax.jit, static_argnames=("particle_tile", "point_tile", "interpret"))
-def fused_moments_plane_prepared(
+def fused_moments_plane_kb(
     params: jax.Array,        # [P,12]
-    feat13_t: jax.Array,      # [13,B*K]
-    cand2_t: jax.Array,       # [B,2,K]
+    feat13_kb: jax.Array,     # [13,K,B]
+    ndotc: jax.Array,         # [K,B]
     src_t: jax.Array,         # [3,B]
     nrm_t: jax.Array,         # [3,B]
     vmask: jax.Array,         # [1,B] f32
@@ -457,10 +445,15 @@ def fused_moments_plane_prepared(
     point_tile: int = 256,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
+    """Fused point-to-plane pass at TRUE K (multiple of 8, no 128 lane pad):
+    H [P,6,6], b [P,6] straight from the candidate sets. Same math as
+    `fused_moments_plane` — see `_plane_moments_kernel_kb` for the layout."""
     p = params.shape[0]
-    b = src_t.shape[1]
-    k = cand2_t.shape[2]
-    assert k % 128 == 0 and p % particle_tile == 0 and b % point_tile == 0
+    k, b = ndotc.shape
+    assert k % 8 == 0 or interpret, f"K must be a multiple of 8, got {k}"
+    assert p % particle_tile == 0 and b % point_tile == 0
+    # free [pt,K*bt]->[pt,K,bt] split needs a 128-multiple lane tile
+    assert point_tile % 128 == 0 or interpret, point_tile
     assert particle_tile == p or particle_tile % 128 == 0, particle_tile
 
     params13 = jnp.concatenate(
@@ -470,15 +463,15 @@ def fused_moments_plane_prepared(
     n_j = b // point_tile
     grid = (p // particle_tile, n_j)
     moments = pl.pallas_call(
-        _plane_moments_kernel,
+        _plane_moments_kernel_kb,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((particle_tile, 13), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((13, point_tile * k), lambda i, j: (0, j),
+            pl.BlockSpec((13, k, point_tile), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((point_tile, 2, k), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((k, point_tile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, point_tile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -492,7 +485,7 @@ def fused_moments_plane_prepared(
         out_shape=jax.ShapeDtypeStruct((n_j, 32, p), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(md, params13, feat13_t, cand2_t, src_t, nrm_t, vmask)
+    )(md, params13, feat13_kb, ndotc, src_t, nrm_t, vmask)
 
     m = jnp.sum(moments, axis=0).T                             # [P,32]
     iu, ju = jnp.triu_indices(6)
