@@ -57,6 +57,9 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
                                             host_downsample=host_ds),
         lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
         dispatch_batch=batch,
+        # overlap native staging with device dispatch (one-frame latency);
+        # only applies on the host-downsample path
+        stage_ahead=host_ds and batch == 1,
     )
     world = datasets.SyntheticWorld(extent=80.0, n_walls=24, n_boxes=16, seed=7)
     times, rots, trans = datasets.synthetic_trajectory(n_frames, dt=0.1, speed=2.0, seed=7)

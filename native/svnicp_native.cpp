@@ -188,6 +188,16 @@ int svn_downsample_stage(const float* xyz, int n, float voxel, float* out,
 
 extern "C" {
 
+// Single stage: downsample(input, factor*voxel) capped at capacity,
+// zero-padded. Used by the device-derived-source staging path (the device
+// recomputes stage B from the shipped stage-A cloud).
+int svn_downsample_one_stage(const float* xyz, int n, float voxel,
+                             float* out, int capacity) {
+  const int m = svn_downsample_stage(xyz, n, voxel, out, capacity);
+  std::memset(out + 3 * m, 0, sizeof(float) * 3 * (capacity - m));
+  return m;
+}
+
 // to_map = downsample(input, 0.5*voxel) capped at map_capacity;
 // source = downsample(to_map, 1.5*voxel) capped at src_capacity.
 // Outputs are zero-padded to their capacities; returns via out-params.

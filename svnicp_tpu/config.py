@@ -214,6 +214,13 @@ class PipelineConfig:
     # (dispatch_batch-1) frames of output latency. Ignored (forced to 1)
     # when the pose graph is enabled, which needs per-frame host decisions.
     dispatch_batch: int = 1
+    # overlap host-side scan staging (native crop + downsample, GIL-free)
+    # with device dispatch on a single worker thread: feed_scan(k) submits
+    # frame k's staging and dispatches frame k-1, adding one frame of output
+    # latency. Applies only on the host_downsample fast path with
+    # dispatch_batch == 1 and no pose graph; results are bit-identical to
+    # the synchronous path (staging is pure, frames dispatch in order).
+    stage_ahead: bool = False
 
     @property
     def np_dtype(self):

@@ -42,6 +42,10 @@ if os.path.exists(_LIB_PATH):
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int)]
+    _lib.svn_downsample_one_stage.restype = ctypes.c_int
+    _lib.svn_downsample_one_stage.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int]
     _lib.svn_extract_timestamps.restype = ctypes.c_int
     _lib.svn_extract_timestamps.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -144,6 +148,21 @@ def downsample_two_stage(xyz: np.ndarray, voxel: float, src_capacity: int,
         _fptr(xyz), len(xyz), voxel, _fptr(out_map), map_capacity,
         ctypes.byref(n_map), _fptr(out_src), src_capacity, ctypes.byref(n_src))
     return out_map, n_map.value, out_src, n_src.value
+
+
+def downsample_one_stage(xyz: np.ndarray, voxel: float,
+                         capacity: int) -> tuple[np.ndarray, int]:
+    """One uniform-downsample stage -> ([capacity,3] zero-padded, count).
+    Same selection/order as `downsample_two_stage`'s stage A at `voxel`."""
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    out = np.zeros((capacity, 3), np.float32)
+    if _lib is None:
+        m = _np_downsample_stage(xyz, voxel, capacity)
+        out[: len(m)] = m
+        return out, len(m)
+    n = _lib.svn_downsample_one_stage(_fptr(xyz), len(xyz), voxel,
+                                      _fptr(out), capacity)
+    return out, n
 
 
 _DTYPES = {"f4": 0, "f8": 1, "u4": 2}

@@ -456,11 +456,14 @@ def odometry_step_packed(cfg: PipelineConfig, state: OdometryState,
 def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
                              ds_buf: jax.Array, imu_buf: jax.Array,
                              meta: jax.Array):
-    """`odometry_step` over HOST-preprocessed clouds: ds_buf
-    [2*src_cap + src_cap, 3] = to_map rows then source rows (zero-padded),
-    meta [4] f64 = (stamp, n_map, n_src, n_imu). Ships ~40% of the raw-scan
-    bytes at bench shapes — the tunnel transfer is the frame-floor
-    bottleneck (see preprocess.host_downsample)."""
+    """`odometry_step` over a HOST-preprocessed cloud: ds_buf [2*src_cap,3]
+    = the stage-A (0.5*voxel) to_map rows (zero-padded), meta [3] f64 =
+    (stamp, n_map, n_imu). The stage-B source cloud is DERIVED on device
+    (downsample of to_map — identical selection to the host/native stage B,
+    three-way tested), so the per-frame upload ships only the coarse cloud:
+    the tunnel transfer is the frame-floor bottleneck (see
+    preprocess.host_downsample)."""
+    from svnicp_tpu.core import pointcloud as pc
     from svnicp_tpu.core.pointcloud import PaddedCloud
 
     dtype = jnp.dtype(cfg.dtype)
@@ -468,14 +471,13 @@ def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
     src_cap = cfg.icp.source_capacity
     w = imu_buf.shape[0]
     n_map = meta[1].astype(jnp.int32)
-    n_src = meta[2].astype(jnp.int32)
-    n_imu = meta[3].astype(jnp.int32)
+    n_imu = meta[2].astype(jnp.int32)
     to_map = PaddedCloud(ds_buf[:map_cap],
                          jnp.arange(map_cap, dtype=jnp.int32) < n_map)
-    source = PaddedCloud(ds_buf[map_cap:],
-                         jnp.arange(src_cap, dtype=jnp.int32) < n_src)
+    source = pc.downsample_uniform(to_map, 1.5 * cfg.preprocess.voxel_size,
+                                   src_cap)
     frame = FrameInput(
-        points=ds_buf[map_cap:],
+        points=source.points,
         valid=source.valid,
         timestamps=jnp.zeros((src_cap,), dtype),
         time=meta[0].astype(dtype),
@@ -544,6 +546,8 @@ class LIOPipeline:
         self.posegraph = None
         self._batch: list = []
         self._batch_kind: str = "raw"
+        self._stage_pool = None
+        self._pending: list = []    # [(t, future)] staged-ahead frames
         self._keyframe_clouds: list[tuple[np.ndarray, np.ndarray]] = []
         self.loop_closures: list[tuple[int, int]] = []
         if self.cfg.posegraph.enabled:
@@ -638,22 +642,30 @@ class LIOPipeline:
             imu_buf[i, 4:7] = g
         return imu_buf, len(triples)
 
-    def _pack_frame_pre(self, t: float, points: np.ndarray):
-        """Host-preprocessed staging (preprocess.host_downsample): native
-        crop + two-stage uniform downsample, packed as ONE [3*src_cap,3]
-        upload (to_map rows then source rows) + imu + meta [4]."""
+    def _stage_scan_pre(self, points: np.ndarray):
+        """Scan half of the host-preprocessed staging: native crop + the
+        stage-A (0.5*voxel) uniform downsample, packed as ONE [2*src_cap,3]
+        upload. The stage-B source cloud is derived on DEVICE from this
+        cloud (identical selection), so only the coarse cloud ships over
+        the tunnel. Pure (no pipeline state), so it can run on the
+        stage-ahead worker thread; the native calls release the GIL."""
         from svnicp_tpu.io import native
 
         points = self._apply_extrinsic(points)
         pts, _, n = native.stage_scan(
             np.asarray(points, np.float32), self.cfg.preprocess.min_range,
             self.cfg.preprocess.max_range, self.cfg.preprocess.raw_capacity)
-        src_cap = self.cfg.icp.source_capacity
-        map_buf, n_map, src_buf, n_src = native.downsample_two_stage(
-            pts[: int(n)], self.cfg.preprocess.voxel_size, src_cap, 2 * src_cap)
-        ds_buf = np.concatenate([map_buf, src_buf], axis=0).astype(self.cfg.np_dtype)
+        map_buf, n_map = native.downsample_one_stage(
+            pts[: int(n)], 0.5 * self.cfg.preprocess.voxel_size,
+            2 * self.cfg.icp.source_capacity)
+        return map_buf.astype(self.cfg.np_dtype, copy=False), n_map
+
+    def _pack_frame_pre(self, t: float, points: np.ndarray):
+        """Host-preprocessed staging (preprocess.host_downsample): scan
+        staging + imu window + meta [3] = (stamp, n_map, n_imu)."""
+        ds_buf, n_map = self._stage_scan_pre(points)
         imu_buf, n_imu = self._pack_imu(t)
-        meta = np.array([t, n_map, n_src, n_imu], np.float64)
+        meta = np.array([t, n_map, n_imu], np.float64)
         return ds_buf, imu_buf, meta
 
     def _stage_frame(self, t: float, points: np.ndarray, timestamps) -> FrameInput:
@@ -688,6 +700,10 @@ class LIOPipeline:
             self._record_frame(t, out, points)
             return out
 
+        if host_ds and batch_n == 1 and self.cfg.stage_ahead:
+            return self._feed_scan_ahead(t, points)
+        if self._pending:
+            self.flush()    # staging mode changed mid-stream: keep order
         kind = "pre" if host_ds else "raw"
         bufs = (self._pack_frame_pre(t, points) if host_ds
                 else self._pack_frame(t, points, timestamps))
@@ -704,6 +720,37 @@ class LIOPipeline:
         step = odometry_step_packed_pre if host_ds else odometry_step_packed
         self.state, out = step(self.cfg, self.state, *bufs)
         self._record_frame(t, out, points)
+        return out
+
+    def _feed_scan_ahead(self, t: float, points: np.ndarray) -> FrameOutput | None:
+        """Stage-ahead mode (cfg.stage_ahead): submit frame t's scan staging
+        to the worker thread, dispatch the previously staged frame. The
+        2-3 ms of native staging overlaps the device computing the prior
+        frame; adds one frame of output latency (flush() drains the tail).
+        The IMU window is packed HERE (main thread) so queue consumption
+        stays ordered with feed_imu calls."""
+        import concurrent.futures
+
+        if self._stage_pool is None:
+            self._stage_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="svnicp-stage")
+        imu_buf, n_imu = self._pack_imu(t)
+        fut = self._stage_pool.submit(self._stage_scan_pre, points)
+        self._frames += 1
+        self._last_frame_time = t
+        self._pending.append((t, imu_buf, n_imu, fut))
+        if len(self._pending) > 1:
+            return self._dispatch_pending()
+        return None
+
+    def _dispatch_pending(self) -> FrameOutput:
+        t0, imu_buf, n_imu, fut = self._pending.pop(0)
+        ds_buf, n_map = fut.result()
+        meta = np.array([t0, n_map, n_imu], np.float64)
+        self.state, out = odometry_step_packed_pre(
+            self.cfg, self.state, ds_buf, imu_buf, meta)
+        self.outputs.append(out)
+        self.times.append(t0)
         return out
 
     def _record_frame(self, t: float, out: FrameOutput, points) -> None:
@@ -741,11 +788,14 @@ class LIOPipeline:
         return last
 
     def flush(self) -> FrameOutput | None:
-        """Drain a partially-filled dispatch batch (no-op in live mode).
-        Returns the last frame's output, or None if nothing was pending."""
+        """Drain a partially-filled dispatch batch and any staged-ahead
+        frames (no-op in plain live mode). Returns the last frame's output,
+        or None if nothing was pending."""
         step = (odometry_step_packed_pre if self._batch_kind == "pre"
                 else odometry_step_packed)
         last = None
+        while self._pending:
+            last = self._dispatch_pending()
         while self._batch:
             # drain one-by-one: a partial batch has a different scan length,
             # and per-frame dispatch avoids compiling a program per length

@@ -196,6 +196,28 @@ class TestThreadedIngest:
         np.testing.assert_allclose(pipe_b.trajectory(), pipe_ref.trajectory(),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_stage_ahead_matches_sequential(self, world):
+        """cfg.stage_ahead overlaps native staging with dispatch on a worker
+        thread; staging is pure and frames dispatch in order, so the
+        trajectory must be bit-identical to the synchronous host path."""
+        cfg_ref = small_cfg(preprocess=dataclasses.replace(
+            small_cfg().preprocess, host_downsample=True))
+        pipe_ref, _ = run_sequence(cfg_ref, world, n_frames=7)
+        cfg_a = dataclasses.replace(cfg_ref, stage_ahead=True)
+        pipe_a = pl.LIOPipeline(cfg_a)
+        times, rots, trans = datasets.synthetic_trajectory(7, dt=0.1, speed=1.2, seed=5)
+        rng2 = np.random.default_rng(5)
+        rets = []
+        for i in range(7):
+            scan = world.scan_at(rng2, rots[i], trans[i], n_points=4000, noise=0.01)
+            rets.append(pipe_a.feed_scan(float(times[i]), scan))
+        pipe_a.flush()
+        assert rets[0] is not None           # bootstrap stays synchronous
+        assert rets[1] is None               # first staged frame: 1-frame latency
+        assert rets[2] is not None
+        assert len(pipe_a.outputs) == 7
+        np.testing.assert_array_equal(pipe_a.trajectory(), pipe_ref.trajectory())
+
     def test_run_threaded_matches_sequential(self, world, rng):
         cfg = small_cfg()
         times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, seed=9)
