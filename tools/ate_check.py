@@ -1,0 +1,55 @@
+"""ATE of the bench operating point for a given candidate method.
+
+Runs the same synthetic sequence as bench.py and prints ATE/RPE — the
+accuracy companion to bench.py's throughput line. Usage:
+
+    python tools/ate_check.py [--method bucketed|window|topk|voxel]
+        [--residual point_to_plane] [--frames 30]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--method", default="bucketed")
+    ap.add_argument("--residual", default="point_to_plane")
+    ap.add_argument("--frames", type=int, default=30)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import bench
+    from svnicp_tpu.io import datasets, metrics
+
+    pipe, times, scans = bench.build(
+        args.frames, particles=64, use_pallas=True,
+        candidate_method=args.method, residual=args.residual)
+    _, rots, trans = datasets.synthetic_trajectory(
+        args.frames, dt=0.1, speed=2.0, seed=7)
+    for i in range(args.frames):
+        pipe.feed_scan(float(times[i]), scans[i])
+    pipe.flush()
+    est = pipe.trajectory()
+    gt = np.tile(np.eye(4), (args.frames, 1, 1))
+    gt[:, :3, :3] = rots
+    gt[:, :3, 3] = trans
+    ate = metrics.ate_rmse(est, gt)
+    rpe_t, rpe_r = metrics.rpe(est, gt)
+    mean_iters = float(np.mean([int(o.icp_iterations) for o in pipe.outputs[1:]]))
+    print(json.dumps({
+        "method": args.method, "residual": args.residual,
+        "frames": args.frames, "ate_rmse_m": round(float(ate), 4),
+        "rpe_trans_m": round(float(rpe_t), 4),
+        "rpe_rot_rad": round(float(rpe_r), 5),
+        "mean_icp_iterations": round(mean_iters, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
