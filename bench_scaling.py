@@ -27,9 +27,23 @@ def main():
     ap.add_argument("--target", type=int, default=32768)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="force the CPU backend with N simulated devices "
+                         "(the shell pins JAX_PLATFORMS; env overrides do "
+                         "not survive, so this must happen in-process)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}")
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from svnicp_tpu.config import SteinICPConfig

@@ -218,6 +218,26 @@ class TestThreadedIngest:
         assert len(pipe_a.outputs) == 7
         np.testing.assert_array_equal(pipe_a.trajectory(), pipe_ref.trajectory())
 
+    def test_stage_ahead_mode_switch_preserves_order(self, world):
+        """Frames that can't use the fast path (here: per-point timestamps)
+        must drain the staged-ahead queue first so dispatch order is kept."""
+        cfg = small_cfg(preprocess=dataclasses.replace(
+            small_cfg().preprocess, host_downsample=True))
+        cfg = dataclasses.replace(cfg, stage_ahead=True)
+        pipe = pl.LIOPipeline(cfg)
+        times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, speed=1.2, seed=5)
+        rng2 = np.random.default_rng(5)
+        for i in range(6):
+            scan = world.scan_at(rng2, rots[i], trans[i], n_points=4000, noise=0.01)
+            ts = (np.linspace(0, 1, len(scan), dtype=np.float32)
+                  if i == 3 else None)   # frame 3 forces the raw path
+            pipe.feed_scan(float(times[i]), scan, timestamps=ts)
+        pipe.flush()
+        assert len(pipe.outputs) == 6
+        assert pipe.times == [float(t) for t in times[:6]]
+        traj = pipe.trajectory()
+        assert np.isfinite(traj).all()
+
     def test_run_threaded_matches_sequential(self, world, rng):
         cfg = small_cfg()
         times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, seed=9)
