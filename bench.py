@@ -54,7 +54,8 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
                               max_range=300.0, capacity=131072),
         preprocess=cfg_mod.PreprocessConfig(min_range=2.0, max_range=80.0,
                                             voxel_size=1.0, raw_capacity=32768,
-                                            host_downsample=host_ds),
+                                            host_downsample=host_ds,
+                                            quantize_upload=host_ds),
         lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
         dispatch_batch=batch,
         # overlap native staging with device dispatch (one-frame latency);

@@ -118,6 +118,12 @@ class PreprocessConfig:
     # active when deskew and segmentation are off (both need the raw scan
     # on device); the first (bootstrap) frame always ships raw.
     host_downsample: bool = False
+    # ship the host-downsampled cloud as int16 on a 2^-8 m (3.9 mm) grid,
+    # +/-128 m range — HALVES the per-frame upload, which is bandwidth-bound
+    # on remote-tunnel devices (~1.5 ms for 98 KB measured). The ~2 mm RMS
+    # quantization noise is far below LiDAR sensor noise; documented
+    # divergence from the float pipeline (host_downsample path only).
+    quantize_upload: bool = False
     sensor_model: str = "hdl64"      # segmentation scan geometry preset:
                                      # hdl64 | hdl32 | vlp16
     raw_capacity: int = 131072       # padded raw scan size

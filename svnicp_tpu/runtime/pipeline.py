@@ -472,6 +472,9 @@ def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
     w = imu_buf.shape[0]
     n_map = meta[1].astype(jnp.int32)
     n_imu = meta[2].astype(jnp.int32)
+    if ds_buf.dtype == jnp.int16:
+        # quantized upload (preprocess.quantize_upload): 2^-8 m grid
+        ds_buf = ds_buf.astype(dtype) * (2.0 ** -8)
     to_map = PaddedCloud(ds_buf[:map_cap],
                          jnp.arange(map_cap, dtype=jnp.int32) < n_map)
     source = pc.downsample_uniform(to_map, 1.5 * cfg.preprocess.voxel_size,
@@ -658,6 +661,10 @@ class LIOPipeline:
         map_buf, n_map = native.downsample_one_stage(
             pts[: int(n)], 0.5 * self.cfg.preprocess.voxel_size,
             2 * self.cfg.icp.source_capacity)
+        if self.cfg.preprocess.quantize_upload:
+            # 2^-8 m grid, +/-128 m — dequantized on device (see
+            # odometry_step_packed_pre); halves the tunnel upload
+            return np.round(map_buf * 256.0).astype(np.int16), n_map
         return map_buf.astype(self.cfg.np_dtype, copy=False), n_map
 
     def _pack_frame_pre(self, t: float, points: np.ndarray):

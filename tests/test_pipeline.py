@@ -218,6 +218,22 @@ class TestThreadedIngest:
         assert len(pipe_a.outputs) == 7
         np.testing.assert_array_equal(pipe_a.trajectory(), pipe_ref.trajectory())
 
+    def test_quantized_upload_tracks_float_path(self, world):
+        """preprocess.quantize_upload ships int16 points on a 2^-8 m grid;
+        the trajectory must stay within quantization-noise distance of the
+        float upload path."""
+        cfg_f = small_cfg(preprocess=dataclasses.replace(
+            small_cfg().preprocess, host_downsample=True))
+        pipe_f, _ = run_sequence(cfg_f, world, n_frames=6)
+        cfg_q = dataclasses.replace(
+            cfg_f, preprocess=dataclasses.replace(cfg_f.preprocess,
+                                                  quantize_upload=True))
+        pipe_q, _ = run_sequence(cfg_q, world, n_frames=6)
+        d = np.linalg.norm(
+            pipe_q.trajectory()[:, :3, 3] - pipe_f.trajectory()[:, :3, 3],
+            axis=1)
+        assert d.max() < 0.03, d
+
     def test_stage_ahead_mode_switch_preserves_order(self, world):
         """Frames that can't use the fast path (here: per-point timestamps)
         must drain the staged-ahead queue first so dispatch order is kept."""
