@@ -44,6 +44,11 @@ class SteinICPConfig:
     knn_count: int = 100             # K candidates per source point (stage-1 KNN)
     candidate_method: str = "bucketed"  # bucketed (group-min) | topk (exact) | voxel (hash buckets)
     voxel_candidate_cap: int = 4     # voxel method: points taken per neighbor voxel
+    # per-iteration 1-NN searches only the match_count nearest-at-guess
+    # candidates (0 = all knn_count). The in-loop kernel cost scales with
+    # the match set; plane normals always fit on the FULL candidate set.
+    # Multiple of 8 (Pallas sublane tiling).
+    match_count: int = 0
     adaptive_prior: bool = False     # Gaussian re-seed from recent covariances
                                      # (ref variance_prediction, dead at :812-837)
     use_pallas: bool = False         # fused Pallas 1-NN kernel (TPU only)
@@ -87,6 +92,10 @@ class SteinICPConfig:
             raise ValueError(f"unknown optimizer {self.optimizer!r}")
         if self.candidate_method not in ("bucketed", "topk", "voxel"):
             raise ValueError(f"unknown candidate_method {self.candidate_method!r}")
+        if self.match_count and (self.match_count % 8 or self.match_count < 0):
+            raise ValueError(
+                f"match_count must be 0 or a positive multiple of 8, "
+                f"got {self.match_count}")
 
 
 @dataclasses.dataclass(frozen=True)

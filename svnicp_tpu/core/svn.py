@@ -347,12 +347,27 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
     return r_new, t_new, grad_norm, stop_stat
 
 
-def _prepare_align(cfg, source, src_valid, cand_pts, cand_valid):
+def _prepare_align(cfg, source, src_valid, cand_pts, cand_valid, r0, t0):
     """Per-frame, loop-invariant alignment setup shared by align and
-    align_with_history: K-padding for the Pallas path, plane normals,
+    align_with_history: plane normals (from the FULL candidate set),
+    optional match-set reduction, K-padding for the Pallas path,
     correspondence features, and the prepared kernel operands."""
     use_pallas = cfg.use_pallas and _pallas_ok()
     plane = cfg.residual == "point_to_plane"
+    normals = None
+    if plane:
+        normals = residuals.plane_normals(cand_pts, cand_valid)
+    if 0 < cfg.match_count < cand_pts.shape[1]:
+        # per-iteration 1-NN only searches the match_count nearest-at-guess
+        # candidates — the in-loop kernel cost scales with K, while the
+        # plane fit above keeps the full set. Particles move well under
+        # max_dist, so the per-particle NN stays inside the reduced set.
+        at_guess = geo.transform_points(r0, t0, source)
+        d2 = jnp.sum((cand_pts - at_guess[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(cand_valid, d2, jnp.inf)
+        _, idx = jax.lax.top_k(-d2, cfg.match_count)             # [B,m]
+        cand_pts = jnp.take_along_axis(cand_pts, idx[..., None], axis=1)
+        cand_valid = jnp.take_along_axis(cand_valid, idx, axis=1)
     if use_pallas:
         from svnicp_tpu.kernels import nn_pallas
 
@@ -360,9 +375,6 @@ def _prepare_align(cfg, source, src_valid, cand_pts, cand_valid):
         # point-to-point keeps the lane-axis kernel (K padded to 128)
         cand_pts, cand_valid = nn_pallas.pad_candidates(
             cand_pts, cand_valid, multiple=8 if plane else 128)
-    normals = None
-    if plane:
-        normals = residuals.plane_normals(cand_pts, cand_valid)
     feat, bias = correspondence_features(source, cand_pts, cand_valid)
     prep = None
     if use_pallas and (plane or cand_pts.shape[1] % 128 == 0):
@@ -398,7 +410,7 @@ def align(
     t_init = init_particles[:, :3]
 
     cand_pts, cand_valid, normals, feat, bias, prep = _prepare_align(
-        cfg, source, src_valid, cand_pts, cand_valid)
+        cfg, source, src_valid, cand_pts, cand_valid, r0, t0)
     iteration = functools.partial(
         _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias,
         normals, prep, r0, t0
@@ -448,7 +460,7 @@ def align_with_history(
     t_init = init_particles[:, :3]
 
     cand_pts, cand_valid, normals, feat, bias, prep = _prepare_align(
-        cfg, source, src_valid, cand_pts, cand_valid)
+        cfg, source, src_valid, cand_pts, cand_valid, r0, t0)
     iteration = functools.partial(
         _svn_iteration, cfg, source, src_valid, cand_pts, cand_valid, feat, bias,
         normals, prep, r0, t0

@@ -355,3 +355,47 @@ class TestSegmentationInPipeline:
                                  world.scan_at(rng, rots[i], trans[i], n_points=4000))
         assert np.isfinite(np.asarray(out.pose_t)).all()
         assert int(out.map_points) > 0
+
+
+class TestKittiCLI:
+    def test_kitti_cli_end_to_end(self, rng, tmp_path, capsys):
+        """`cli kitti` over a synthesized mini KITTI directory: velodyne
+        .bin files + times.txt + poses — the full dataset-runner surface."""
+        import json
+
+        from svnicp_tpu import cli
+
+        world = datasets.SyntheticWorld(extent=30.0, seed=3)
+        times, rots, trans = datasets.synthetic_trajectory(5, dt=0.1, seed=5)
+        vel = tmp_path / "velodyne"
+        vel.mkdir()
+        for i in range(5):
+            pts = world.scan_at(rng, rots[i], trans[i], n_points=3000)
+            rec = np.zeros((len(pts), 4), np.float32)
+            rec[:, :3] = pts
+            rec.tofile(vel / f"{i:06d}.bin")
+        (tmp_path / "times.txt").write_text(
+            "".join(f"{t:.6f}\n" for t in times[:5]))
+        poses = np.concatenate(
+            [rots.reshape(5, 3, 3), trans[:, :, None]], axis=2
+        ).reshape(5, 12)
+        pose_file = tmp_path / "poses.txt"
+        np.savetxt(pose_file, poses)
+
+        cfg_file = tmp_path / "cfg.yaml"
+        cfg_file.write_text(
+            "icp:\n  particle_count: 4\n  iterations: 8\n  knn_count: 8\n"
+            "  source_capacity: 512\n  target_capacity: 2048\n"
+            "map:\n  capacity: 8192\n  max_points_per_voxel: 5\n"
+            "preprocess:\n  min_range: 0.5\n  max_range: 40.0\n"
+            "  raw_capacity: 4096\n"
+            "lio:\n  estimator: icp\n  frame_gap_seconds: 0.0\n")
+        cli.main(["kitti", "--velodyne", str(vel),
+                  "--times", str(tmp_path / "times.txt"),
+                  "--poses", str(pose_file), "--config", str(cfg_file),
+                  "--output", str(tmp_path / "records.jsonl")])
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        stats = json.loads(line)
+        assert stats["frames"] == 5
+        assert np.isfinite(stats["ate_rmse_m"]) and stats["ate_rmse_m"] < 5.0
+        assert (tmp_path / "records.jsonl").stat().st_size > 0
