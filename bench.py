@@ -45,9 +45,9 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
             # neighborhoods (large-K fits span multiple surfaces and bias
             # the normals — BASELINE.md); p2p keeps the reference's K=100
             knn_count=32 if plane else 100, early_stop=early_stop,
-            # 1-NN among the 16 nearest of the 32 candidates: halves the
-            # in-loop kernel; plane fits keep the full 32-set (BASELINE.md)
-            match_count=16 if plane else 0,
+            # match_count=16 measured SLOWER end-to-end (200-207 vs 210-218
+            # fps): the per-frame top_k + candidate gather costs more than
+            # the halved in-loop kernel saves at K=32 (BASELINE.md)
             convergence_threshold=1e-3 if plane else 5e-4,
             convergence_metric="mean_delta" if plane else "grad_norm",
             source_capacity=4096, target_capacity=65536, use_pallas=use_pallas,
