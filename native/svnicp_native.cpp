@@ -121,16 +121,17 @@ int svn_downsample_stage(const float* xyz, int n, float voxel, float* out,
   const size_t mask = tsize - 1;
 
   // pass 1 (sequential, vectorizable): voxel key + distance-to-center
-  const float half_v = 0.5f * voxel;
   for (int i = 0; i < n; ++i) {
     const float* p = xyz + 3 * i;
     float d = 0.0f;
     uint32_t packed = 0;
     const int bits = 10, kmask = (1 << bits) - 1, half = 1 << (bits - 1);
     for (int a = 0; a < 3; ++a) {
-      // divide (not reciprocal-multiply) for device-path bit-compatibility
+      // divide (not reciprocal-multiply) and (f+0.5)*v (not f*v+0.5*v) for
+      // bit-compatibility with the device/numpy paths — both expressions
+      // differ by ulps on some inputs, which flips near-tie selections
       const float f = std::floor(p[a] / voxel);
-      const float e = p[a] - (f * voxel + half_v);
+      const float e = p[a] - (f + 0.5f) * voxel;
       d += e * e;
       packed = (packed << bits) | (uint32_t)(((int)f + half) & kmask);
     }

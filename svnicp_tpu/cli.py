@@ -52,25 +52,36 @@ def _run_stream(cfg, stream, imu_stream=None, writer=None, gt_poses=None,
             pipe.feed_imu(t, acc, gyro)
 
     n_frames = 0
+
+    def drain_new(step_wall: float) -> None:
+        # records come from the pipeline's own (time, output) pairs so
+        # stage_ahead / dispatch_batch latency can't skew the stamps
+        nonlocal n_frames
+        while n_frames < len(pipe.outputs):
+            t_out = pipe.times[n_frames]
+            out = pipe.outputs[n_frames]
+            n_frames += 1
+            if writer is not None:
+                writer.write(records.RuntimeRecord(
+                    stamp=t_out, preprocessing_time=0.0,
+                    steinicp_time=step_wall,
+                    finish_iter=int(out.icp_iterations)))
+                writer.write_all(records.frame_records(t_out, out))
+            if progress and n_frames % 20 == 0:
+                p = np.asarray(out.pose_t)
+                print(f"[svnicp] frame {n_frames}  "
+                      f"pose=({p[0]:.2f},{p[1]:.2f},{p[2]:.2f})"
+                      f"  map={int(out.map_points)}", file=sys.stderr)
+
     t_start = time.perf_counter()
     for item in stream:
         t, pts = item[0], item[1]
         ts = item[2] if len(item) > 2 else None
         t0 = time.perf_counter()
-        out = pipe.feed_scan(t, pts, ts)
-        if out is None:
-            continue
-        n_frames += 1
-        if writer is not None:
-            writer.write(records.RuntimeRecord(
-                stamp=t, preprocessing_time=0.0,
-                steinicp_time=time.perf_counter() - t0,
-                finish_iter=int(out.icp_iterations)))
-            writer.write_all(records.frame_records(t, out))
-        if progress and n_frames % 20 == 0:
-            p = np.asarray(out.pose_t)
-            print(f"[svnicp] frame {n_frames}  pose=({p[0]:.2f},{p[1]:.2f},{p[2]:.2f})"
-                  f"  map={int(out.map_points)}", file=sys.stderr)
+        pipe.feed_scan(t, pts, ts)
+        drain_new(time.perf_counter() - t0)
+    pipe.flush()    # staged-ahead / batched tail
+    drain_new(0.0)
     wall = time.perf_counter() - t_start
 
     est = pipe.trajectory()

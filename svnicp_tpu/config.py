@@ -137,6 +137,13 @@ class PreprocessConfig:
                                      # hdl64 | hdl32 | vlp16
     raw_capacity: int = 131072       # padded raw scan size
 
+    def __post_init__(self):
+        if self.quantize_upload and self.max_range >= 127.9:
+            raise ValueError(
+                "quantize_upload uses a 2^-8 m int16 grid covering +/-128 m; "
+                f"preprocess.max_range={self.max_range} exceeds it — disable "
+                "quantize_upload or reduce max_range below 127.9")
+
 
 @dataclasses.dataclass(frozen=True)
 class IMUNoiseConfig:

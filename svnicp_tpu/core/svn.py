@@ -377,7 +377,10 @@ def _prepare_align(cfg, source, src_valid, cand_pts, cand_valid, r0, t0):
             cand_pts, cand_valid, multiple=8 if plane else 128)
     feat, bias = correspondence_features(source, cand_pts, cand_valid)
     prep = None
-    if use_pallas and (plane or cand_pts.shape[1] % 128 == 0):
+    # kb kernel needs a 128-multiple point tile (free minor-dim split);
+    # shapes that can't provide one fall back to the XLA path
+    kb_ok = plane and source.shape[0] % 128 == 0
+    if use_pallas and (kb_ok or (not plane and cand_pts.shape[1] % 128 == 0)):
         from svnicp_tpu.kernels import nn_pallas
 
         if normals is not None:

@@ -20,7 +20,10 @@ so small feature axes must sit on sublanes to avoid 10-40x pad blowups):
 - candidates are passed as [B, 3, K] ([B, 4, K] with an all-ones hit-count
   channel for `fused_moments`);
 - the matched output comes back as [3, P, B] (transpose once outside).
-K must be a multiple of 128 (pad with bias=+inf slots via `pad_candidates`).
+K sits on the LANE axis in these kernels, so it must be a multiple of 128
+(pad with bias=+inf slots via `pad_candidates`); the point-to-plane path
+instead uses the K-on-SUBLANE kernel `fused_moments_plane_kb`, which runs
+at true K (any multiple of 8 — see its docstring).
 The jnp oracle used by the tests is the exact math the XLA path runs.
 """
 
@@ -626,7 +629,8 @@ def fused_nn_match_oracle(params, feat, bias, cand_pts):
 
 
 def pad_candidates(cand_pts, cand_valid, bias=None, multiple: int = 128):
-    """Pad the K axis to a multiple of 128 with invalid (+inf bias) slots."""
+    """Pad the K axis to `multiple` with invalid slots (128 for the lane-
+    axis kernels, 8 for the K-on-sublane plane kernel)."""
     b, k = cand_valid.shape
     pad = (-k) % multiple
     if pad == 0:

@@ -663,8 +663,10 @@ class LIOPipeline:
             2 * self.cfg.icp.source_capacity)
         if self.cfg.preprocess.quantize_upload:
             # 2^-8 m grid, +/-128 m — dequantized on device (see
-            # odometry_step_packed_pre); halves the tunnel upload
-            return np.round(map_buf * 256.0).astype(np.int16), n_map
+            # odometry_step_packed_pre); halves the tunnel upload. Config
+            # validation bounds max_range; the clip guards stray outliers.
+            q = np.clip(np.round(map_buf * 256.0), -32768, 32767)
+            return q.astype(np.int16), n_map
         return map_buf.astype(self.cfg.np_dtype, copy=False), n_map
 
     def _pack_frame_pre(self, t: float, points: np.ndarray):
@@ -707,7 +709,10 @@ class LIOPipeline:
             self._record_frame(t, out, points)
             return out
 
-        if host_ds and batch_n == 1 and self.cfg.stage_ahead:
+        if (host_ds and batch_n == 1 and self.cfg.stage_ahead
+                and self.posegraph is None):
+            # (pose graph excluded: it needs per-frame host decisions on the
+            # CURRENT frame's output, incompatible with 1-frame latency)
             return self._feed_scan_ahead(t, points)
         if self._pending:
             self.flush()    # staging mode changed mid-stream: keep order
@@ -812,6 +817,18 @@ class LIOPipeline:
             self.times.append(t)
             last = out
         return last
+
+    def close(self) -> None:
+        """Drain pending work and stop the stage-ahead worker thread."""
+        self.flush()
+        if self._stage_pool is not None:
+            self._stage_pool.shutdown(wait=True)
+            self._stage_pool = None
+
+    def __del__(self):
+        pool = getattr(self, "_stage_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     # ------------------------------------------------------------ pose graph
 
@@ -933,7 +950,7 @@ class LIOPipeline:
 
         worker = threading.Thread(target=producer, daemon=True)
         worker.start()
-        n = 0
+        n0 = len(self.outputs)
         try:
             while True:
                 item = ring.pop()
@@ -943,12 +960,14 @@ class LIOPipeline:
                     threading.Event().wait(0.0005)
                     continue
                 pts, t = item
-                if self.feed_scan(t, pts) is not None:
-                    n += 1
+                self.feed_scan(t, pts)
+            # staged-ahead / batched tail: the last frame(s) may still be
+            # pending after the producer stream ends
+            self.flush()
         finally:
             done.set()
             worker.join(timeout=5)
-        return n
+        return len(self.outputs) - n0
 
     def trajectory(self) -> np.ndarray:
         """[N,4,4] homogeneous poses of all processed frames."""

@@ -254,6 +254,24 @@ class TestThreadedIngest:
         traj = pipe.trajectory()
         assert np.isfinite(traj).all()
 
+    def test_stage_ahead_excluded_with_posegraph(self, world):
+        """The pose graph needs per-frame host decisions on the CURRENT
+        frame; stage_ahead must be ignored so keyframes still appear."""
+        cfg = small_cfg(
+            preprocess=dataclasses.replace(small_cfg().preprocess,
+                                           host_downsample=True),
+            posegraph=cfg_mod.PoseGraphConfig(
+                enabled=True, keyframe_trans_threshold=0.05),
+        )
+        cfg = dataclasses.replace(cfg, stage_ahead=True)
+        pipe, _ = run_sequence(cfg, world, n_frames=6)
+        assert len(pipe.outputs) == 6
+        assert len(pipe.posegraph.nodes_r) >= 2   # keyframes were added
+
+    def test_quantize_upload_range_validation(self):
+        with pytest.raises(ValueError, match="quantize_upload"):
+            cfg_mod.PreprocessConfig(max_range=150.0, quantize_upload=True)
+
     def test_run_threaded_matches_sequential(self, world, rng):
         cfg = small_cfg()
         times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, seed=9)
@@ -388,8 +406,12 @@ class TestKittiCLI:
             "  source_capacity: 512\n  target_capacity: 2048\n"
             "map:\n  capacity: 8192\n  max_points_per_voxel: 5\n"
             "preprocess:\n  min_range: 0.5\n  max_range: 40.0\n"
-            "  raw_capacity: 4096\n"
-            "lio:\n  estimator: icp\n  frame_gap_seconds: 0.0\n")
+            "  raw_capacity: 4096\n  host_downsample: true\n"
+            "  quantize_upload: true\n"
+            "lio:\n  estimator: icp\n  frame_gap_seconds: 0.0\n"
+            # stage_ahead: the CLI must flush the staged tail — all 5 frames
+            # land in the summary with their own stamps
+            "stage_ahead: true\n")
         cli.main(["kitti", "--velodyne", str(vel),
                   "--times", str(tmp_path / "times.txt"),
                   "--poses", str(pose_file), "--config", str(cfg_file),

@@ -3,7 +3,7 @@
 Runs the same synthetic sequence as bench.py and prints ATE/RPE — the
 accuracy companion to bench.py's throughput line. Usage:
 
-    python tools/ate_check.py [--method bucketed|window|topk|voxel]
+    python tools/ate_check.py [--method bucketed|topk|voxel]
         [--residual point_to_plane] [--frames 30]
 """
 
