@@ -219,11 +219,14 @@ def correspondence_features(source: jax.Array, cand_pts: jax.Array,
 
 
 def _pick_point_tile_kb(ptile: int, bsz: int, k: int) -> int:
-    """Point tile for the K-on-sublane plane kernel: the live VMEM residents
-    are the score/hit pair (2*pt*k*bt f32) plus the double-buffered feat
-    ([13,k,bt]) and ndotc ([k,bt]) blocks; same 11 MB pipelining budget as
-    `_pick_point_tile`, but tiles must be 128-multiples (free minor-dim
-    split in the kernel)."""
+    """Point tile for the K-on-sublane moments kernels: the live VMEM
+    residents are the score/hit pair (2*pt*k*bt f32) plus the double-
+    buffered feat ([13,k,bt]) and candidate-channel blocks. The kernels
+    request a 64 MB scoped-vmem limit (v5e has 128 MB physical) so estimate
+    drift cannot OOM, but smaller tiles pipeline better — the 11 MB budget
+    is a deliberate tile cap, not a hardware ceiling (measured on the
+    lane-axis predecessor: bt=128 beat bt=256 at the K=128 bench shape).
+    Tiles must be 128-multiples (free minor-dim split in the kernel)."""
     for bt in (512, 256, 128):
         if bsz % bt:
             continue
@@ -231,26 +234,6 @@ def _pick_point_tile_kb(ptile: int, bsz: int, k: int) -> int:
         if est <= 11 * 1024 * 1024:
             return bt
     return 128 if bsz % 128 == 0 else bsz
-
-
-def _pick_point_tile(ptile: int, bsz: int, k: int) -> int:
-    """Largest point tile whose fused-moments working set fits scoped VMEM.
-
-    The dominant VMEM residents per (particle-tile x point-tile) block are
-    the score/one-hot pair (2*pt*bt*k f32) plus the double-buffered feat
-    (12*bt*k) and candidate/bias (4*bt*k) inputs. The kernel requests a
-    64 MB scoped-vmem limit (v5e has 128 MB physical VMEM) so estimate
-    drift cannot OOM, but SMALLER tiles pipeline better: bt=256 at the
-    bench shape (pt=64, k=128) measured 8.8 fps vs 12.8 fps with bt=128
-    (100 fixed iterations), so the 11 MB budget is a deliberate tile cap,
-    not a hardware ceiling."""
-    for bt in (256, 128, 64):
-        if bsz % bt:
-            continue
-        est = 4 * (2 * ptile * bt * k + 2 * 13 * bt * k + 2 * 4 * bt * k)
-        if est <= 11 * 1024 * 1024:
-            return bt
-    return 64 if bsz % 64 == 0 else bsz
 
 
 def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
@@ -284,18 +267,17 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
         # 128-multiple for very large ensembles)
         ptile = p if p <= 128 else next(
             (d for d in (256, 128) if p % d == 0), p)
+        # K-on-sublane kernels: k here is the TRUE candidate count
+        # (multiple of 8), not lane-padded — see nn_pallas kb layout
+        kk = pallas_prep[1].shape[1 if normals is None else 0]
+        btile = _pick_point_tile_kb(ptile, bsz, kk)
         if normals is not None:
-            # K-on-sublane kernel: k here is the TRUE candidate count
-            # (multiple of 8), not lane-padded — see nn_pallas kb layout
-            kk = pallas_prep[1].shape[0]
-            btile = _pick_point_tile_kb(ptile, bsz, kk)
             hess, b = nn_pallas.fused_moments_plane_kb(
                 params, *pallas_prep, cfg.max_dist,
                 particle_tile=ptile, point_tile=btile,
             )
         else:
-            btile = _pick_point_tile(ptile, bsz, k)
-            hess, b = nn_pallas.fused_moments_prepared(
+            hess, b = nn_pallas.fused_moments_kb(
                 params, *pallas_prep, cfg.max_dist,
                 particle_tile=ptile, point_tile=btile,
             )
@@ -371,16 +353,14 @@ def _prepare_align(cfg, source, src_valid, cand_pts, cand_valid, r0, t0):
     if use_pallas:
         from svnicp_tpu.kernels import nn_pallas
 
-        # plane path runs the K-on-sublane kernel at TRUE K (multiple of 8);
-        # point-to-point keeps the lane-axis kernel (K padded to 128)
+        # both residuals run K-on-sublane kernels at TRUE K (multiple of 8)
         cand_pts, cand_valid = nn_pallas.pad_candidates(
-            cand_pts, cand_valid, multiple=8 if plane else 128)
+            cand_pts, cand_valid, multiple=8)
     feat, bias = correspondence_features(source, cand_pts, cand_valid)
     prep = None
-    # kb kernel needs a 128-multiple point tile (free minor-dim split);
+    # kb kernels need a 128-multiple point tile (free minor-dim split);
     # shapes that can't provide one fall back to the XLA path
-    kb_ok = plane and source.shape[0] % 128 == 0
-    if use_pallas and (kb_ok or (not plane and cand_pts.shape[1] % 128 == 0)):
+    if use_pallas and source.shape[0] % 128 == 0:
         from svnicp_tpu.kernels import nn_pallas
 
         if normals is not None:
@@ -388,8 +368,8 @@ def _prepare_align(cfg, source, src_valid, cand_pts, cand_valid, r0, t0):
             prep = nn_pallas.prepare_moments_plane_kb(
                 feat, bias, cand_pts, source, n_vec, n_valid & src_valid)
         else:
-            prep = nn_pallas.prepare_moments(feat, bias, cand_pts, source,
-                                             src_valid)
+            prep = nn_pallas.prepare_moments_kb(feat, bias, cand_pts, source,
+                                                src_valid)
     return cand_pts, cand_valid, normals, feat, bias, prep
 
 

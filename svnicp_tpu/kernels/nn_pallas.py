@@ -115,125 +115,6 @@ def fused_nn_match(
     return jnp.transpose(matched_t, (1, 2, 0)), best
 
 
-def _moments_kernel(max_dist_ref, params_ref, feat_t_ref, cand_t_ref,
-                    src_t_ref, valid_ref, mom_ref):
-    # valid_ref: [1,Bt] float (1.0 = real source point)
-    """Correspondence + robust-weighted Gauss-Newton moments, fully fused.
-
-    Per (particle-tile, point-tile) block: score matmul -> argmin ->
-    matched candidate -> residual -> M-estimator weight -> the 19 block
-    moments that assemble H and b (see core/residuals.py block identity).
-    Output layout mom[n_j, 32, P] (rows 19.. are pad to satisfy TPU
-    tiling): XLA sums over n_j and assembles the [P,6,6]/[P,6] system.
-
-    VPU economy (measured; each pass over the [Pt,Bt,K] tensor is the cost
-    unit): the candidate bias rides the score matmul as a 13th feature (no
-    `bias - 2*cross` pass), and tie normalization rides the candidate
-    matmul as a 4th all-ones channel whose output is the hit count (no
-    [Pt,Bt,K]-wide sum + divide) — the normalizing divide happens on the
-    [Pt,Bt] count instead.
-    """
-    pt = params_ref.shape[0]
-    bt = cand_t_ref.shape[0]
-    k = cand_t_ref.shape[2]
-    max_dist = max_dist_ref[0]
-
-    score = jax.lax.dot_general(
-        params_ref[:], feat_t_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(pt, bt, k)
-    best = jnp.min(score, axis=-1)                            # [Pt,Bt]
-    hit = (score == best[..., None]).astype(jnp.float32)
-    matched4 = jax.lax.dot_general(
-        jnp.swapaxes(hit, 0, 1), cand_t_ref[:],
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                          # [Bt,Pt,4]
-    matched4 = jnp.transpose(matched4, (1, 2, 0))              # [Pt,4,Bt]
-    inv = 1.0 / jnp.maximum(matched4[:, 3, :], 1.0)            # [Pt,Bt]
-    matched = matched4[:, :3, :] * inv[:, None, :]             # [Pt,3,Bt]
-
-    # transformed[p,i,:] = sum_j R_p[i,j] s[j,:] + t_p[i], unrolled per
-    # component (Mosaic rejects the [Pt,9]->[Pt*3,3] shape cast a batched
-    # dot would need)
-    src_rows = [src_t_ref[j, :] for j in range(3)]             # 3 x [Bt]
-    transformed = jnp.stack(
-        [
-            params_ref[:, 3 * i + 0][:, None] * src_rows[0][None, :]
-            + params_ref[:, 3 * i + 1][:, None] * src_rows[1][None, :]
-            + params_ref[:, 3 * i + 2][:, None] * src_rows[2][None, :]
-            + params_ref[:, 9 + i][:, None]
-            for i in range(3)
-        ],
-        axis=1,
-    )                                                          # [Pt,3,Bt]
-
-    t2 = jnp.sum(transformed * transformed, axis=1)            # [Pt,Bt]
-    d2 = jnp.maximum(best + t2, 0.0)
-    # reference gate: squared distance vs un-squared max_dist; rows whose
-    # candidates are all invalid (best=inf) are treated as gated
-    vmask = valid_ref[:].reshape(1, bt)                        # [1,Bt] float
-    gate = ((d2 < max_dist) & (best < jnp.float32(1e30))).astype(jnp.float32)
-
-    s = src_t_ref[:]                                           # [3,Bt]
-    s_g = s[None] * gate[:, None, :]                           # [Pt,3,Bt]
-    e = (transformed - matched) * gate[:, None, :]
-    en = jnp.sqrt(jnp.sum(e * e, axis=1))                      # [Pt,Bt]
-    w = (max_dist / (max_dist + 3.0 * en)) ** 2                # gated pts: w=1
-    w = w * vmask                                              # padding: w=0
-    we = w[:, None, :] * e
-
-    # rte[p,j,:] = sum_i R_p[i,j] we[p,i,:]  (R^T (w e)), unrolled per
-    # component — Mosaic rejects batched einsum dot lowerings here
-    rcol = [[params_ref[:, 3 * i + j] for j in range(3)] for i in range(3)]
-    rte = [
-        rcol[0][j][:, None] * we[:, 0, :]
-        + rcol[1][j][:, None] * we[:, 1, :]
-        + rcol[2][j][:, None] * we[:, 2, :]
-        for j in range(3)
-    ]                                                          # 3 x [Pt,Bt]
-
-    s0, s1, s2 = s_g[:, 0, :], s_g[:, 1, :], s_g[:, 2, :]
-    comps = [jnp.sum(w, axis=1)]                               # sw
-    comps += [jnp.sum(w * s_g[:, i, :], axis=1) for i in range(3)]      # m1
-    comps += [jnp.sum(w * s_g[:, i, :] * s_g[:, j, :], axis=1)
-              for i in range(3) for j in range(3)]                      # m2
-    comps += [jnp.sum(rte[j], axis=1) for j in range(3)]                # b_t
-    comps += [                                                          # b_r
-        jnp.sum(s1 * rte[2] - s2 * rte[1], axis=1),
-        jnp.sum(s2 * rte[0] - s0 * rte[2], axis=1),
-        jnp.sum(s0 * rte[1] - s1 * rte[0], axis=1),
-    ]
-    zero = jnp.zeros((pt,), jnp.float32)
-    comps += [zero] * (32 - len(comps))
-    mom_ref[:] = jnp.stack(comps, axis=0)[None]                # [1,32,Pt]
-
-
-@jax.jit
-def prepare_moments(feat, bias, cand_pts, source, src_valid):
-    """Loop-invariant operand prep for `fused_moments_prepared`.
-
-    XLA does NOT hoist operand-shaping ops across the Pallas custom-call
-    boundary out of the align while_loop (measured: the [B,4,K] candidate
-    pad re-ran every iteration, ~1.3 ms/frame at bench shapes), so callers
-    compute this ONCE per frame and pass the prepared tensors through the
-    loop.
-
-    bias is folded into the score matmul as a 13th feature (score =
-    <[vec(R),t,1],[-2 feat, bias]>); hit-count normalization is folded into
-    the candidate matmul as a 4th all-ones channel — see _moments_kernel.
-    """
-    b, k = bias.shape
-    feat13_t = jnp.concatenate([-2.0 * feat, bias.reshape(b * k, 1)], axis=1).T
-    cand4_t = jnp.concatenate(
-        [jnp.swapaxes(cand_pts, 1, 2), jnp.ones((b, 1, k), cand_pts.dtype)],
-        axis=1)                                                # [B,4,K]
-    src_t = source.T                                           # [3,B]
-    vmask = src_valid.astype(jnp.float32).reshape(1, b)
-    return feat13_t, cand4_t, src_t, vmask
-
-
 def fused_moments(
     params: jax.Array,        # [P,12]
     feat: jax.Array,          # [B*K,12]
@@ -248,80 +129,12 @@ def fused_moments(
 ) -> tuple[jax.Array, jax.Array]:
     """One fused pass: per-particle H [P,6,6] and b [P,6] straight from the
     candidate sets — no [P,B,*] intermediate ever touches HBM. Convenience
-    wrapper over prepare_moments + fused_moments_prepared (tests / one-shot
-    callers; the align loop calls the split form)."""
-    prep = prepare_moments(feat, bias, cand_pts, source, src_valid)
-    return fused_moments_prepared(params, *prep, max_dist,
-                                  particle_tile=particle_tile,
-                                  point_tile=point_tile, interpret=interpret)
-
-
-@functools.partial(jax.jit, static_argnames=("particle_tile", "point_tile", "interpret"))
-def fused_moments_prepared(
-    params: jax.Array,        # [P,12]
-    feat13_t: jax.Array,      # [13,B*K] from prepare_moments
-    cand4_t: jax.Array,       # [B,4,K]
-    src_t: jax.Array,         # [3,B]
-    vmask: jax.Array,         # [1,B] f32
-    max_dist: float,
-    particle_tile: int = 64,
-    point_tile: int = 256,
-    interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    p = params.shape[0]
-    b = src_t.shape[1]
-    k = cand4_t.shape[2]
-    assert k % 128 == 0 and p % particle_tile == 0 and b % point_tile == 0
-    # the moments output puts particles on the lane axis
-    assert particle_tile == p or particle_tile % 128 == 0, particle_tile
-
-    params13 = jnp.concatenate(
-        [params, jnp.ones((p, 1), params.dtype)], axis=-1)
-    md = jnp.asarray([max_dist], jnp.float32)
-
-    n_j = b // point_tile
-    grid = (p // particle_tile, n_j)
-    moments = pl.pallas_call(
-        _moments_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((particle_tile, 13), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((13, point_tile * k), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((point_tile, 4, k), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, point_tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, point_tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 32, particle_tile), lambda i, j: (j, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_j, 32, p), jnp.float32),
-        # The score/one-hot chain keeps ~3 live [pt,bt,k] f32 buffers, so
-        # useful tiles blow the 16 MB scoped-vmem default (pt=64/bt=128/k=128
-        # measured 16.09 MB). v5e has 128 MB physical VMEM — raise the scope
-        # and keep DMA headroom; svn._pick_point_tile budgets against this.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(md, params13, feat13_t, cand4_t, src_t, vmask)
-
-    m = jnp.sum(moments, axis=0).T                             # [P,32]
-    sw, m1 = m[:, 0], m[:, 1:4]
-    m2 = m[:, 4:13].reshape(p, 3, 3)
-    b_t, b_r = m[:, 13:16], m[:, 16:19]
-
-    eye = jnp.eye(3, dtype=jnp.float32)
-    sk = _skew_batch(m1)
-    h_tt = sw[:, None, None] * eye[None]
-    h_rr = jnp.trace(m2, axis1=1, axis2=2)[:, None, None] * eye[None] - m2
-    top = jnp.concatenate([h_tt, -sk], axis=2)
-    bot = jnp.concatenate([sk, h_rr], axis=2)
-    h = jnp.concatenate([top, bot], axis=1) + 1e-6 * jnp.eye(6, dtype=jnp.float32)
-    bvec = jnp.concatenate([b_t, b_r], axis=1)
-    return h, bvec
+    wrapper over the K-on-sublane kernel (tests / one-shot callers; the
+    align loop calls the split prepare/run form)."""
+    prep = prepare_moments_kb(feat, bias, cand_pts, source, src_valid)
+    return fused_moments_kb(params, *prep, max_dist,
+                            particle_tile=particle_tile,
+                            point_tile=point_tile, interpret=interpret)
 
 
 def fused_moments_plane(
@@ -345,6 +158,167 @@ def fused_moments_plane(
     return fused_moments_plane_kb(params, *prep, max_dist,
                                   particle_tile=particle_tile,
                                   point_tile=point_tile, interpret=interpret)
+
+
+def _moments_kernel_kb(max_dist_ref, params_ref, feat_kb_ref, cand_kb_ref,
+                       src_t_ref, valid_ref, mom_ref):
+    """Point-to-point moments with K on SUBLANES (see
+    `_plane_moments_kernel_kb` for the layout rationale): the score tensor
+    is [Pt,K,Bt] at TRUE K (multiple of 8), the K-reduction is a cross-
+    sublane min, and the matched candidate is three broadcast-multiply
+    sublane sums — no one-hot matmul, no transposes.
+
+    Output mom[n_j, 32, P]: row 0 = sum of robust weights, rows 1..3 = m1,
+    4..12 = m2 row-major, 13..15 = b_t, 16..18 = b_r, rest zero pad —
+    the block moments that assemble H and b (core/residuals.py identity).
+    """
+    pt = params_ref.shape[0]
+    _, k, bt = cand_kb_ref.shape
+    max_dist = max_dist_ref[0]
+
+    score = jax.lax.dot_general(
+        params_ref[:], feat_kb_ref[:].reshape(13, k * bt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(pt, k, bt)
+    best = jnp.min(score, axis=1)                              # [Pt,Bt]
+    hit = (score == best[:, None, :]).astype(jnp.float32)      # [Pt,K,Bt]
+    cnt = jnp.sum(hit, axis=1)
+    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    matched = [jnp.sum(hit * cand_kb_ref[c][None], axis=1) * inv
+               for c in range(3)]                              # 3 x [Pt,Bt]
+
+    src_rows = [src_t_ref[j, :] for j in range(3)]             # 3 x [Bt]
+    transformed = [
+        params_ref[:, 3 * i + 0][:, None] * src_rows[0][None, :]
+        + params_ref[:, 3 * i + 1][:, None] * src_rows[1][None, :]
+        + params_ref[:, 3 * i + 2][:, None] * src_rows[2][None, :]
+        + params_ref[:, 9 + i][:, None]
+        for i in range(3)
+    ]                                                          # 3 x [Pt,Bt]
+    t2 = (transformed[0] * transformed[0] + transformed[1] * transformed[1]
+          + transformed[2] * transformed[2])
+    d2 = jnp.maximum(best + t2, 0.0)
+    gate = ((d2 < max_dist) & (best < jnp.float32(1e30))).astype(jnp.float32)
+
+    e = [(transformed[i] - matched[i]) * gate for i in range(3)]
+    en = jnp.sqrt(e[0] * e[0] + e[1] * e[1] + e[2] * e[2])
+    w = (max_dist / (max_dist + 3.0 * en)) ** 2                # gated pts: w=1
+    w = w * valid_ref[:].reshape(1, bt)                        # padding: w=0
+    we = [w * e[i] for i in range(3)]
+
+    s_g = [src_rows[i][None, :] * gate for i in range(3)]      # 3 x [Pt,Bt]
+    rcol = [[params_ref[:, 3 * i + j] for j in range(3)] for i in range(3)]
+    rte = [
+        rcol[0][j][:, None] * we[0]
+        + rcol[1][j][:, None] * we[1]
+        + rcol[2][j][:, None] * we[2]
+        for j in range(3)
+    ]                                                          # R^T (w e)
+
+    s0, s1, s2 = s_g
+    comps = [jnp.sum(w, axis=1)]                               # sw
+    comps += [jnp.sum(w * s_g[i], axis=1) for i in range(3)]   # m1
+    comps += [jnp.sum(w * s_g[i] * s_g[j], axis=1)
+              for i in range(3) for j in range(3)]             # m2
+    comps += [jnp.sum(rte[j], axis=1) for j in range(3)]       # b_t
+    comps += [                                                 # b_r
+        jnp.sum(s1 * rte[2] - s2 * rte[1], axis=1),
+        jnp.sum(s2 * rte[0] - s0 * rte[2], axis=1),
+        jnp.sum(s0 * rte[1] - s1 * rte[0], axis=1),
+    ]
+    zero = jnp.zeros((pt,), jnp.float32)
+    comps += [zero] * (32 - len(comps))
+    mom_ref[:] = jnp.stack(comps, axis=0)[None]                # [1,32,Pt]
+
+
+@jax.jit
+def prepare_moments_kb(feat, bias, cand_pts, source, src_valid):
+    """Loop-invariant prep for `fused_moments_kb` (K-on-sublane layout).
+
+    XLA does NOT hoist operand-shaping ops across the Pallas custom-call
+    boundary out of the align while_loop (measured ~1.3 ms/frame of
+    re-running candidate prep at bench shapes), so callers compute this
+    ONCE per frame and pass the prepared tensors through the loop.
+    """
+    b, k = bias.shape
+    feat13 = jnp.concatenate([-2.0 * feat.reshape(b, k, 12),
+                              bias[..., None]], axis=-1)       # [B,K,13]
+    feat13_kb = jnp.transpose(feat13, (2, 1, 0))               # [13,K,B]
+    cand_kb = jnp.transpose(cand_pts, (2, 1, 0))               # [3,K,B]
+    src_t = source.T
+    vmask = src_valid.astype(jnp.float32).reshape(1, b)
+    return feat13_kb, cand_kb, src_t, vmask
+
+
+@functools.partial(jax.jit, static_argnames=("particle_tile", "point_tile", "interpret"))
+def fused_moments_kb(
+    params: jax.Array,        # [P,12]
+    feat13_kb: jax.Array,     # [13,K,B]
+    cand_kb: jax.Array,       # [3,K,B]
+    src_t: jax.Array,         # [3,B]
+    vmask: jax.Array,         # [1,B] f32
+    max_dist: float,
+    particle_tile: int = 64,
+    point_tile: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused point-to-point pass at TRUE K (multiple of 8): H [P,6,6] and
+    b [P,6] straight from the candidate sets — no [P,B,*] intermediate ever
+    touches HBM. Replaces the lane-axis kernel for the reference-parity
+    K=100 path (100 -> 104 sublane pad instead of 128 lanes, no one-hot
+    matmul or transposes)."""
+    p = params.shape[0]
+    _, k, b = cand_kb.shape
+    assert k % 8 == 0 or interpret, f"K must be a multiple of 8, got {k}"
+    assert p % particle_tile == 0 and b % point_tile == 0
+    # free [pt,K*bt]->[pt,K,bt] split needs a 128-multiple lane tile
+    assert point_tile % 128 == 0 or interpret, point_tile
+    assert particle_tile == p or particle_tile % 128 == 0, particle_tile
+
+    params13 = jnp.concatenate(
+        [params, jnp.ones((p, 1), params.dtype)], axis=-1)
+    md = jnp.asarray([max_dist], jnp.float32)
+
+    n_j = b // point_tile
+    grid = (p // particle_tile, n_j)
+    moments = pl.pallas_call(
+        _moments_kernel_kb,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((particle_tile, 13), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((13, k, point_tile), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, k, point_tile), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, point_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, point_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 32, particle_tile), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_j, 32, p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(md, params13, feat13_kb, cand_kb, src_t, vmask)
+
+    m = jnp.sum(moments, axis=0).T                             # [P,32]
+    sw, m1 = m[:, 0], m[:, 1:4]
+    m2 = m[:, 4:13].reshape(p, 3, 3)
+    b_t, b_r = m[:, 13:16], m[:, 16:19]
+
+    eye = jnp.eye(3, dtype=jnp.float32)
+    sk = _skew_batch(m1)
+    h_tt = sw[:, None, None] * eye[None]
+    h_rr = jnp.trace(m2, axis1=1, axis2=2)[:, None, None] * eye[None] - m2
+    top = jnp.concatenate([h_tt, -sk], axis=2)
+    bot = jnp.concatenate([sk, h_rr], axis=2)
+    h = jnp.concatenate([top, bot], axis=1) + 1e-6 * jnp.eye(6, dtype=jnp.float32)
+    bvec = jnp.concatenate([b_t, b_r], axis=1)
+    return h, bvec
 
 
 def _plane_moments_kernel_kb(max_dist_ref, params_ref, feat_kb_ref, ndotc_ref,
