@@ -62,47 +62,69 @@ def auto_axes(n_devices: int, particle_count: int) -> tuple[int, int]:
 
 
 def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
-                       feat, bias, normals, r0, t0, r, t):
+                       feat, bias, normals, prep, r0, t0, r, t):
     """One SVN epoch on a (particle, point) shard.
 
     source/cand_* are the local point shard [Bl,...]; r/t the local particle
     shard [Pl,...]; normals the local (unit_normals, plane_valid) pair or
-    None (point-to-point). Returns updated local particles + the global
-    early-stop statistic (grad norm or ensemble-mean drift per
-    cfg.convergence_metric).
+    None (point-to-point); prep the per-shard prepared operands of the
+    fused K-on-sublane Pallas kernels (None = XLA path — tests on the
+    CPU-simulated mesh, or shard shapes the kernels can't tile). Returns
+    updated local particles + the global early-stop statistic (grad norm or
+    ensemble-mean drift per cfg.convergence_metric).
     """
     p_local = r.shape[0]
     bsz, k = cand_pts.shape[:2]
     r_total = jnp.matmul(r0[None], r, precision=jax.lax.Precision.HIGHEST)
     t_total = t0[None] + jnp.einsum("ij,pj->pi", r0, t)
 
-    transformed = (
-        jnp.einsum("pij,bj->pbi", r_total, source, precision=jax.lax.Precision.HIGHEST)
-        + t_total[:, None, :]
-    )
-    # MXU-formulated 1-NN among candidates (see svn.correspondence_features)
     params = jnp.concatenate([r_total.reshape(p_local, 9), t_total], axis=-1)
-    cross = jnp.matmul(params, feat.T, precision=jax.lax.Precision.HIGHEST)
-    score = (bias.reshape(1, bsz * k) - 2.0 * cross).reshape(p_local, bsz, k)
-    nn_idx = jnp.argmin(score, axis=-1).astype(jnp.int32)
-    best_score = jnp.take_along_axis(score, nn_idx[..., None], axis=-1)[..., 0]
-    nn_d2 = jnp.maximum(best_score + jnp.sum(transformed * transformed, axis=-1), 0.0)
-    b_idx = jnp.arange(bsz)[None, :]
-    matched = cand_pts[b_idx, nn_idx]
-    pair_valid = (nn_d2 < cfg.max_dist) & src_valid[None, :] & jnp.isfinite(best_score)
+    if prep is not None:
+        # per-shard fused kernel: local H/b partials straight from VMEM
+        from svnicp_tpu.core.svn import _pick_point_tile_kb
+        from svnicp_tpu.kernels import nn_pallas
 
-    # local-point partial H/b, then Schur-style psum over the point axis
-    if normals is not None:
-        n_vec, n_valid = normals
-        hess, b = residuals.ensemble_gauss_newton_plane(
-            source, transformed, matched, n_vec,
-            pair_valid & n_valid[None, :], r_total, cfg.max_dist
-        )
+        ptile = p_local if p_local <= 128 else next(
+            (d for d in (256, 128) if p_local % d == 0), p_local)
+        kk = prep[1].shape[1 if normals is None else 0]
+        btile = _pick_point_tile_kb(ptile, bsz, kk)
+        if normals is not None:
+            hess, b = nn_pallas.fused_moments_plane_kb(
+                params, *prep, cfg.max_dist,
+                particle_tile=ptile, point_tile=btile)
+        else:
+            hess, b = nn_pallas.fused_moments_kb(
+                params, *prep, cfg.max_dist,
+                particle_tile=ptile, point_tile=btile)
     else:
-        hess, b = residuals.ensemble_gauss_newton(
-            source, transformed, matched, pair_valid, src_valid, r_total,
-            cfg.max_dist
+        transformed = (
+            jnp.einsum("pij,bj->pbi", r_total, source,
+                       precision=jax.lax.Precision.HIGHEST)
+            + t_total[:, None, :]
         )
+        # MXU-formulated 1-NN (see svn.correspondence_features)
+        cross = jnp.matmul(params, feat.T, precision=jax.lax.Precision.HIGHEST)
+        score = (bias.reshape(1, bsz * k) - 2.0 * cross).reshape(p_local, bsz, k)
+        nn_idx = jnp.argmin(score, axis=-1).astype(jnp.int32)
+        best_score = jnp.take_along_axis(score, nn_idx[..., None], axis=-1)[..., 0]
+        nn_d2 = jnp.maximum(
+            best_score + jnp.sum(transformed * transformed, axis=-1), 0.0)
+        b_idx = jnp.arange(bsz)[None, :]
+        matched = cand_pts[b_idx, nn_idx]
+        pair_valid = (nn_d2 < cfg.max_dist) & src_valid[None, :] & jnp.isfinite(best_score)
+
+        # local-point partial H/b, then Schur-style psum over the point axis
+        if normals is not None:
+            n_vec, n_valid = normals
+            hess, b = residuals.ensemble_gauss_newton_plane(
+                source, transformed, matched, n_vec,
+                pair_valid & n_valid[None, :], r_total, cfg.max_dist
+            )
+        else:
+            hess, b = residuals.ensemble_gauss_newton(
+                source, transformed, matched, pair_valid, src_valid, r_total,
+                cfg.max_dist
+            )
     # the +jitter and gate-damping identity blocks are added per point shard;
     # correct for the duplicated jitter after the reduction
     n_point_shards = jax.lax.psum(1, POINT_AXIS)
@@ -161,11 +183,29 @@ def sharded_align(
     def body(source_l, src_valid_l, cand_l, cand_valid_l, r0_l, t0_l, init_l):
         r = geo.bso3_exp(init_l[:, 3:])
         t = init_l[:, :3]
-        feat, bias = svn.correspondence_features(source_l, cand_l, cand_valid_l)
         normals = None
         if cfg.residual == "point_to_plane":
             # the plane fit uses only the local candidate shard — no comms
             normals = residuals.plane_normals(cand_l, cand_valid_l)
+        prep = None
+        if cfg.use_pallas and svn._pallas_ok() and source_l.shape[0] % 128 == 0:
+            from svnicp_tpu.kernels import nn_pallas
+
+            cand_l, cand_valid_l = nn_pallas.pad_candidates(
+                cand_l, cand_valid_l, multiple=8)
+            feat, bias = svn.correspondence_features(
+                source_l, cand_l, cand_valid_l)
+            if normals is not None:
+                n_vec, n_valid = normals
+                prep = nn_pallas.prepare_moments_plane_kb(
+                    feat, bias, cand_l, source_l, n_vec,
+                    n_valid & src_valid_l)
+            else:
+                prep = nn_pallas.prepare_moments_kb(
+                    feat, bias, cand_l, source_l, src_valid_l)
+        else:
+            feat, bias = svn.correspondence_features(
+                source_l, cand_l, cand_valid_l)
 
         def cond(state):
             r_, t_, it, gn, done = state
@@ -175,7 +215,7 @@ def sharded_align(
             r_, t_, it, gn, done = state
             r_n, t_n, grad_norm, stop_stat = _sharded_iteration(
                 cfg, source_l, src_valid_l, cand_l, cand_valid_l, feat, bias,
-                normals, r0_l, t0_l, r_, t_
+                normals, prep, r0_l, t0_l, r_, t_
             )
             done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
             return (r_n, t_n, it + 1, grad_norm, done)

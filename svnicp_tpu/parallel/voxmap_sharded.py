@@ -277,7 +277,7 @@ def sharded_register_with_map(
             r_, t_, it, gn, done = state
             r_n, t_n, grad_norm, stop_stat = sharding._sharded_iteration(
                 cfg, source_l, src_valid_l, cand_pts, cand_valid, feat, bias,
-                normals, r0_l, t0_l, r_, t_,
+                normals, None, r0_l, t0_l, r_, t_,
             )
             done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
             return (r_n, t_n, it + 1, grad_norm, done)
