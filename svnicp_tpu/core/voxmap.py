@@ -126,39 +126,34 @@ def insert(
 
     kept_total = jnp.sum(keep)
 
-    def compact(masked_key):
-        # kept rows already sit in key order: one stable sort on the masked
-        # key both compacts kept rows to the front and keeps the key-sorted
-        # invariant (invalid keys sort to the end). Validity falls out of the
-        # key (packed keys use 30 bits, so never equal INVALID_KEY) — no
-        # boolean payload rides the sort.
-        fkey, fx, fy, fz = jax.lax.sort(
-            (masked_key, sx, sy, sz), num_keys=1, is_stable=True,
-        )
-        fkeep = fkey[:c] != INVALID_KEY
-        pts = jnp.where(fkeep[:, None],
-                        jnp.stack([fx[:c], fy[:c], fz[:c]], axis=-1), 0.0)
-        return VoxelMap(pts, fkey[:c], fkeep)
+    # capacity shedding, branch-free (a lax.cond here measured 0.31 ms of
+    # overhead vs the ~0.1 ms single-operand threshold sort): rank rows by a
+    # per-row avalanche hash and keep those below the c-th smallest value —
+    # a spatially-uniform subset. With no overflow the c-th smallest value
+    # is the INT32_MAX filler (or the largest kept hash), so the gate
+    # degenerates to keep-everything. Hash ties at the threshold may keep a
+    # few extra rows; the compact sort truncates those at the key-order
+    # tail (drop count unaffected).
+    from svnicp_tpu.core.pointcloud import hash32
 
-    def no_overflow(_):
-        return compact(jnp.where(keep, skey, INVALID_KEY)), jnp.zeros((), jnp.int32)
+    shed = hash32(skey ^ (rank.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)).astype(jnp.int32))
+    shed = jnp.where(keep, shed, jnp.iinfo(jnp.int32).max)
+    thresh = jax.lax.sort(shed)[c - 1]
+    keep &= shed <= thresh
 
-    def overflow(_):
-        # shed a spatially-uniform subset of rows to fit capacity: rank rows
-        # by a per-row avalanche hash and keep those below the c-th smallest
-        # value. Finding the threshold is a single-operand sort — far cheaper
-        # than carrying all payloads through a hash-ordered sort + re-sort.
-        # Hash ties at the threshold may keep a few extra rows; the compact
-        # sort truncates those at the key-order tail (drop count unaffected).
-        from svnicp_tpu.core.pointcloud import hash32
-
-        shed = hash32(skey ^ (rank.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)).astype(jnp.int32))
-        shed = jnp.where(keep, shed, jnp.iinfo(jnp.int32).max)
-        thresh = jax.lax.sort(shed)[c - 1]
-        keep2 = keep & (shed <= thresh)
-        return compact(jnp.where(keep2, skey, INVALID_KEY)), kept_total - c
-
-    return jax.lax.cond(kept_total <= c, no_overflow, overflow, None)
+    # kept rows already sit in key order: one stable sort on the masked key
+    # both compacts kept rows to the front and keeps the key-sorted
+    # invariant (invalid keys sort to the end). Validity falls out of the
+    # key (packed keys use 30 bits, so never equal INVALID_KEY) — no
+    # boolean payload rides the sort.
+    fkey, fx, fy, fz = jax.lax.sort(
+        (jnp.where(keep, skey, INVALID_KEY), sx, sy, sz),
+        num_keys=1, is_stable=True,
+    )
+    fkeep = fkey[:c] != INVALID_KEY
+    pts = jnp.where(fkeep[:, None],
+                    jnp.stack([fx[:c], fy[:c], fz[:c]], axis=-1), 0.0)
+    return VoxelMap(pts, fkey[:c], fkeep), jnp.maximum(kept_total - c, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("target_capacity",))
