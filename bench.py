@@ -20,9 +20,11 @@ import time
 
 import numpy as np
 
-# Measured on this container's CPU (2 cores) with `--cpu-baseline --frames 5`:
-# {"metric": "cpu_baseline_frames_per_sec", "value": 0.0451}
-CPU_BASELINE_FPS = 0.0451
+# Measured on this container's CPU (2 cores) with `--cpu-baseline --frames 5`,
+# re-measured 2026-08-19 AFTER the session's optimizations (which sped the
+# CPU path up 4x as well — was 0.0451 on 2026-08-17):
+# {"metric": "cpu_baseline_frames_per_sec", "value": 0.1804}
+CPU_BASELINE_FPS = 0.1804
 
 
 def build(n_frames: int, particles: int, use_pallas: bool = False,

@@ -110,8 +110,11 @@ def main():
 
     groups = collections.Counter()
     for name, ps in totals.items():
+        # classify by the op's own name (before " = "), not the whole HLO
+        # line — operand names otherwise leak into the wrong group
+        head = name.split(" = ")[0].lower()
         for key, label in STAGES:
-            if key in name.lower():
+            if key in head:
                 groups[label] += ps
                 break
         else:
