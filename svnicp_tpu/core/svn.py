@@ -424,11 +424,23 @@ def align(
         t_init,
         jnp.zeros((), jnp.int32),
         jnp.asarray(jnp.inf, source.dtype),
-        jnp.zeros((), bool),
+        # degenerate correspondence set (e.g. an empty/out-of-range scan):
+        # with no pairs H is pure jitter and the SVGD repulsion H^-1 grad_k
+        # explodes, so skip the loop entirely. grad_norm stays +inf — the
+        # pipeline reads that as alignment failure and falls back to the
+        # prediction (ref skips the frame, OdometryPipeline.cpp:599-601).
+        _degenerate(src_valid, cand_valid),
     )
     final = jax.lax.while_loop(cond, body, init)
 
     return ensemble_result(final.r, final.t, final.it, final.grad_norm)
+
+
+def _degenerate(src_valid: jax.Array, cand_valid: jax.Array) -> jax.Array:
+    """True when fewer than 6 source points have any candidate at all —
+    not enough constraints for a 6-DoF system."""
+    n_pairs = jnp.sum(jnp.any(cand_valid, axis=1) & src_valid)
+    return n_pairs < 6
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -466,7 +478,8 @@ def align_with_history(
 
     init = _LoopState(
         r_init, t_init, jnp.zeros((), jnp.int32),
-        jnp.asarray(jnp.inf, source.dtype), jnp.zeros((), bool),
+        jnp.asarray(jnp.inf, source.dtype),
+        _degenerate(src_valid, cand_valid),
     )
     final, history = jax.lax.scan(body, init, None, length=cfg.iterations)
 

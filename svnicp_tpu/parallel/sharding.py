@@ -220,8 +220,12 @@ def sharded_align(
             done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
             return (r_n, t_n, it + 1, grad_norm, done)
 
+        # degenerate-set guard (svn._degenerate), GLOBAL over point shards so
+        # every shard exits the loop on the same iteration
+        n_pairs = jax.lax.psum(
+            jnp.sum(jnp.any(cand_valid_l, axis=1) & src_valid_l), POINT_AXIS)
         init_state = (r, t, jnp.zeros((), jnp.int32),
-                      jnp.asarray(jnp.inf, source_l.dtype), jnp.zeros((), bool))
+                      jnp.asarray(jnp.inf, source_l.dtype), n_pairs < 6)
         r_f, t_f, it, gn, _ = jax.lax.while_loop(cond, step, init_state)
 
         coords = jnp.concatenate([t_f, geo.bso3_log(r_f)], axis=-1)

@@ -332,9 +332,12 @@ def _odometry_step_impl(
     var_max = smoother.max_filtered(rings)                  # includes current
 
     # failure containment (ref skips the frame on align failure, :599-601):
-    # a non-finite ensemble result falls back to the prediction and leaves
-    # the filter and map untouched
-    align_ok = jnp.isfinite(result.mean).all() & jnp.isfinite(result.var).all()
+    # a non-finite ensemble result OR a degenerate correspondence set
+    # (grad_norm stays +inf when align skipped the loop — svn._degenerate)
+    # falls back to the prediction and leaves the filter and map untouched
+    align_ok = (jnp.isfinite(result.mean).all()
+                & jnp.isfinite(result.var).all()
+                & jnp.isfinite(result.grad_norm))
     safe_mean = jnp.where(align_ok, result.mean, jnp.zeros(6, dtype))
 
     rc, tc = geo.so3_exp(safe_mean[3:]), safe_mean[:3]

@@ -421,3 +421,72 @@ class TestKittiCLI:
         assert stats["frames"] == 5
         assert np.isfinite(stats["ate_rmse_m"]) and stats["ate_rmse_m"] < 5.0
         assert (tmp_path / "records.jsonl").stat().st_size > 0
+
+
+class TestDegenerateFrames:
+    def test_empty_scan_mid_sequence_contained(self, world):
+        """A scan with zero in-range points must not corrupt the filter or
+        the map: alignment falls back to the prediction (align_ok False or
+        an identity correction) and later frames keep tracking."""
+        cfg = small_cfg()
+        times, rots, trans = datasets.synthetic_trajectory(8, dt=0.1, speed=1.2, seed=5)
+        rng2 = np.random.default_rng(5)
+        pipe = pl.LIOPipeline(cfg)
+        for i in range(8):
+            if i == 3:
+                scan = np.full((100, 3), 1e6, np.float32)   # all cropped out
+            else:
+                scan = world.scan_at(rng2, rots[i], trans[i], n_points=4000,
+                                     noise=0.01)
+            out = pipe.feed_scan(float(times[i]), scan)
+            assert np.isfinite(np.asarray(out.pose_t)).all()
+        gt = np.tile(np.eye(4), (8, 1, 1))
+        gt[:, :3, :3] = rots
+        gt[:, :3, 3] = trans
+        # drop the empty frame from the comparison; the rest must track
+        # (first-pose aligned — the trajectory doesn't start at the origin)
+        keep = [i for i in range(8) if i != 3]
+        est = pipe.trajectory()[keep]
+        rel_est = est[:, :3, 3] - est[0, :3, 3]
+        rel_gt = gt[keep][:, :3, 3] - gt[keep][0, :3, 3]
+        err = np.linalg.norm(rel_est - rel_gt, axis=1)
+        assert err[-1] < 0.5, err
+        assert not bool(pipe.outputs[3].align_ok)   # empty frame contained
+
+    def test_empty_scan_with_host_downsample(self, world):
+        """Same containment on the native host-staging fast path."""
+        cfg = small_cfg(preprocess=dataclasses.replace(
+            small_cfg().preprocess, host_downsample=True))
+        cfg = dataclasses.replace(cfg, stage_ahead=True)
+        times, rots, trans = datasets.synthetic_trajectory(6, dt=0.1, speed=1.2, seed=5)
+        rng2 = np.random.default_rng(5)
+        pipe = pl.LIOPipeline(cfg)
+        for i in range(6):
+            scan = (np.full((100, 3), 1e6, np.float32) if i == 2 else
+                    world.scan_at(rng2, rots[i], trans[i], n_points=4000))
+            pipe.feed_scan(float(times[i]), scan)
+        pipe.flush()
+        assert len(pipe.outputs) == 6
+        for o in pipe.outputs:
+            p = np.asarray(o.pose_t)
+            assert np.isfinite(p).all() and np.linalg.norm(p) < 100.0, p
+        assert not bool(pipe.outputs[2].align_ok)   # empty frame contained
+
+    def test_kf_mode_on_host_downsample_fast_path(self, world):
+        """KF estimator composed with host_downsample + stage_ahead: the
+        IMU window packs on the main thread, so ordering must hold and the
+        filter must keep tracking."""
+        cfg = small_cfg(
+            lio=cfg_mod.LIOConfig(estimator="kf", frame_gap_seconds=0.0),
+            imu=cfg_mod.IMUNoiseConfig.from_yaml_units(
+                [2.0, 2.0, 10.0], [50.0] * 3, [20.0] * 3, [500.0] * 3),
+            preprocess=dataclasses.replace(small_cfg().preprocess,
+                                           host_downsample=True),
+        )
+        cfg = dataclasses.replace(cfg, stage_ahead=True)
+        pipe, gt = run_sequence(cfg, world, n_frames=10, with_imu=True)
+        pipe.flush()
+        est = pipe.trajectory()
+        assert len(est) == 10
+        ate = metrics.ate_rmse(est, gt, align="first")
+        assert ate < 0.25, f"KF fast-path ATE {ate}"
