@@ -66,3 +66,48 @@ def rpe(est_poses: np.ndarray, gt_poses: np.ndarray, delta: int = 1):
         cos_a = np.clip((np.trace(err[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
         r_errs.append(np.arccos(cos_a))
     return float(np.sqrt(np.mean(np.square(t_errs)))), float(np.sqrt(np.mean(np.square(r_errs))))
+
+
+def _so3_log_np(r: np.ndarray) -> np.ndarray:
+    cos_a = np.clip((np.trace(r) - 1.0) / 2.0, -1.0, 1.0)
+    a = np.arccos(cos_a)
+    if a < 1e-8:
+        return np.array([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0],
+                         r[1, 0] - r[0, 1]]) / 2.0
+    return a / (2.0 * np.sin(a)) * np.array(
+        [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]])
+
+
+def nees(est_poses: np.ndarray, gt_poses: np.ndarray, guess_poses: np.ndarray,
+         covs: np.ndarray) -> tuple[float, np.ndarray]:
+    """Normalized estimation error squared of the per-frame ICP correction.
+
+    SVN-ICP's product is not just a pose but a per-frame 6-DoF measurement
+    covariance (the particle spread). This checks its CALIBRATION: for each
+    frame the estimated correction c_est = guess^-1 . est and the true
+    correction c_true = guess^-1 . gt are expressed in the correction
+    coordinates [t(3), log R(3)] the covariance lives in, and
+    NEES_k = e^T Sigma_k^-1 e with e = c_est - c_true. A perfectly
+    calibrated 6-DoF covariance gives mean NEES ~ 6; << 6 means the spread
+    over-covers (conservative), >> 6 means overconfident.
+
+    Inputs: [N,4,4] est/gt/guess poses and [N,6,6] covariances; frames with
+    singular covariance are skipped. Returns (mean NEES, per-frame values).
+    """
+    vals = []
+    for i in range(len(est_poses)):
+        g = guess_poses[i]
+        rg, tg = g[:3, :3], g[:3, 3]
+
+        def corr(pose):
+            rc = rg.T @ pose[:3, :3]
+            tc = rg.T @ (pose[:3, 3] - tg)
+            return np.concatenate([tc, _so3_log_np(rc)])
+
+        e = corr(est_poses[i]) - corr(gt_poses[i])
+        try:
+            vals.append(float(e @ np.linalg.solve(covs[i], e)))
+        except np.linalg.LinAlgError:
+            continue
+    vals = np.asarray(vals)
+    return (float(vals.mean()) if len(vals) else float("nan")), vals

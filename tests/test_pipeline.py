@@ -490,3 +490,58 @@ class TestDegenerateFrames:
         assert len(est) == 10
         ate = metrics.ate_rmse(est, gt, align="first")
         assert ate < 0.25, f"KF fast-path ATE {ate}"
+
+
+class TestCovarianceCalibration:
+    def test_nees_metric_identity(self):
+        """NEES of a perfectly known error against its own covariance."""
+        rng = np.random.default_rng(0)
+        n = 200
+        gt = np.tile(np.eye(4), (n, 1, 1))
+        guess = gt.copy()
+        cov = np.tile(np.diag([0.04, 0.04, 0.04, 0.001, 0.001, 0.001]), (n, 1, 1))
+        est = gt.copy()
+        # draw errors FROM the stated covariance: mean NEES must be ~6
+        errs = rng.normal(size=(n, 6)) * np.sqrt(np.diag(cov[0]))
+        for i in range(n):
+            est[i, :3, 3] = errs[i, :3]
+            a = errs[i, 3:]
+            ang = np.linalg.norm(a)
+            if ang > 1e-12:
+                k = a / ang
+                kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                               [-k[1], k[0], 0]])
+                est[i, :3, :3] = (np.eye(3) + np.sin(ang) * kx
+                                  + (1 - np.cos(ang)) * kx @ kx)
+        mean_nees, vals = metrics.nees(est, gt, guess, cov)
+        assert len(vals) == n
+        assert 4.5 < mean_nees < 7.5, mean_nees
+
+    def test_pipeline_covariance_positive_definite_and_measurable(self, world):
+        """The particle covariance must be usable as a measurement
+        covariance: positive-definite every frame, and the NEES calibration
+        metric must produce finite values on the synthetic sequence.
+
+        Measured finding (recorded in BASELINE.md): the RAW particle spread
+        at the grad-norm-converged equilibrium is strongly OVERCONFIDENT
+        (mean NEES ~1e4-1e5 vs the calibrated 6) — which is exactly why the
+        reference multiplies it by `icp_cov_scales` and runs mean /
+        max-sliding-window filters before handing it to the ESKF
+        (OdometryPipeline.cpp:747-762); this framework reproduces those
+        knobs (lio.icp_cov_scales, lio.cov_filter)."""
+        cfg = small_cfg()
+        pipe, gt = run_sequence(cfg, world, n_frames=12)
+        n = len(pipe.outputs)
+        est = pipe.trajectory()
+        guess = np.tile(np.eye(4), (n, 1, 1))
+        covs = np.zeros((n, 6, 6))
+        for i, o in enumerate(pipe.outputs):
+            guess[i, :3, :3] = np.asarray(o.guess_r)
+            guess[i, :3, 3] = np.asarray(o.guess_t)
+            covs[i] = np.asarray(o.cov)
+            if i > 0:
+                ev = np.linalg.eigvalsh(covs[i])
+                assert (ev > 0).all(), (i, ev)
+        mean_nees, vals = metrics.nees(est[1:], gt[1:], guess[1:], covs[1:])
+        assert len(vals) == n - 1
+        assert np.isfinite(mean_nees) and mean_nees > 0

@@ -42,12 +42,22 @@ def main():
     ate = metrics.ate_rmse(est, gt)
     rpe_t, rpe_r = metrics.rpe(est, gt)
     mean_iters = float(np.mean([int(o.icp_iterations) for o in pipe.outputs[1:]]))
+    # covariance calibration of the per-frame ICP correction (skip the
+    # bootstrap frame, which has no alignment)
+    guess = np.tile(np.eye(4), (args.frames, 1, 1))
+    covs = np.zeros((args.frames, 6, 6))
+    for i, o in enumerate(pipe.outputs):
+        guess[i, :3, :3] = np.asarray(o.guess_r)
+        guess[i, :3, 3] = np.asarray(o.guess_t)
+        covs[i] = np.asarray(o.cov)
+    mean_nees, _ = metrics.nees(est[1:], gt[1:], guess[1:], covs[1:])
     print(json.dumps({
         "method": args.method, "residual": args.residual,
         "frames": args.frames, "ate_rmse_m": round(float(ate), 4),
         "rpe_trans_m": round(float(rpe_t), 4),
         "rpe_rot_rad": round(float(rpe_r), 5),
         "mean_icp_iterations": round(mean_iters, 1),
+        "mean_nees_6dof": round(mean_nees, 2),
     }))
 
 
