@@ -347,15 +347,20 @@ def _odometry_step_impl(
         var_rw = jnp.zeros(6, dtype)
     else:
         use_const = cfg.lio.use_const_cov or cfg.icp.particle_count == 1
+        scales = jnp.asarray(cfg.lio.icp_cov_scales, dtype)
         if use_const:
             ct, cr = cfg.lio.const_cov
             meas_cov = jnp.diag(jnp.asarray([ct, ct, ct, cr, cr, cr], dtype))
         elif cfg.lio.cov_filter == "mean":
-            meas_cov = jnp.diag(var_mean)
+            # mean ring stores raw variances (the adaptive prior reads it);
+            # constant scales commute with the mean, so scale afterwards
+            meas_cov = jnp.diag(var_mean * scales)
         elif cfg.lio.cov_filter == "max_sliding_window":
-            meas_cov = jnp.diag(var_max)
+            meas_cov = jnp.diag(var_max)       # max ring stores scaled values
         else:
-            meas_cov = jnp.diag(raw_var)
+            # ref scales BEFORE any filtering (OdometryPipeline.cpp:747-748);
+            # the unfiltered branch must still apply icp_cov_scales
+            meas_cov = jnp.diag(scaled_var)
         ekf_upd = eskf_mod.update(state.eskf, meas_cov, safe_mean)
         ekf = jax.tree.map(
             lambda a, b: jnp.where(align_ok, a, b), ekf_upd, state.eskf
