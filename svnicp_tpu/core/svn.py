@@ -218,24 +218,6 @@ def correspondence_features(source: jax.Array, cand_pts: jax.Array,
     return feat.reshape(bsz * k, 12), bias
 
 
-def _pick_point_tile_kb(ptile: int, bsz: int, k: int) -> int:
-    """Point tile for the K-on-sublane moments kernels: the live VMEM
-    residents are the score/hit pair (2*pt*k*bt f32) plus the double-
-    buffered feat ([13,k,bt]) and candidate-channel blocks. The kernels
-    request a 64 MB scoped-vmem limit (v5e has 128 MB physical) so estimate
-    drift cannot OOM, but smaller tiles pipeline better — the 11 MB budget
-    is a deliberate tile cap, not a hardware ceiling (measured on the
-    lane-axis predecessor: bt=128 beat bt=256 at the K=128 bench shape).
-    Tiles must be 128-multiples (free minor-dim split in the kernel)."""
-    for bt in (512, 256, 128):
-        if bsz % bt:
-            continue
-        est = 4 * (2 * ptile * k * bt + 2 * 14 * k * bt + 10 * ptile * bt)
-        if est <= 11 * 1024 * 1024:
-            return bt
-    return 128 if bsz % 128 == 0 else bsz
-
-
 def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
                    feat, bias, normals, pallas_prep, r0, t0, state):
     """One SVN epoch: correspondences -> J/H/b -> Stein coupling -> update.
@@ -250,38 +232,21 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
     r_total = jnp.matmul(r0[None], state.r, precision=jax.lax.Precision.HIGHEST)
     t_total = t0[None] + jnp.einsum("ij,pj->pi", r0, state.t)
 
-    transformed = (
-        jnp.einsum("pij,bj->pbi", r_total, source, precision=jax.lax.Precision.HIGHEST)
-        + t_total[:, None, :]
-    )
-
     # 1-NN among candidates via the single-matmul score (see above)
     params = jnp.concatenate([r_total.reshape(p, 9), t_total], axis=-1)  # [P,12]
     if pallas_prep is not None:
         from svnicp_tpu.kernels import nn_pallas
 
         # fully-fused kernel: correspondence + robust weights + GN moments
-        # in one pass — no [P,B,*] intermediate touches HBM. Mosaic: tile
-        # dims must be multiples of 8/128 or equal the full dimension.
-        # particles sit on the output lane axis: tile = full P (or a
-        # 128-multiple for very large ensembles)
-        ptile = p if p <= 128 else next(
-            (d for d in (256, 128) if p % d == 0), p)
-        # K-on-sublane kernels: k here is the TRUE candidate count
-        # (multiple of 8), not lane-padded — see nn_pallas kb layout
-        kk = pallas_prep[1].shape[1 if normals is None else 0]
-        btile = _pick_point_tile_kb(ptile, bsz, kk)
-        if normals is not None:
-            hess, b = nn_pallas.fused_moments_plane_kb(
-                params, *pallas_prep, cfg.max_dist,
-                particle_tile=ptile, point_tile=btile,
-            )
-        else:
-            hess, b = nn_pallas.fused_moments_kb(
-                params, *pallas_prep, cfg.max_dist,
-                particle_tile=ptile, point_tile=btile,
-            )
+        # in one pass — no [P,B,*] intermediate touches HBM
+        hess, b = nn_pallas.fused_moments_dispatch(
+            params, pallas_prep, normals is not None, cfg.max_dist)
     else:
+        transformed = (
+            jnp.einsum("pij,bj->pbi", r_total, source,
+                       precision=jax.lax.Precision.HIGHEST)
+            + t_total[:, None, :]
+        )
         cross = jnp.matmul(params, feat.T, precision=jax.lax.Precision.HIGHEST)
         score = bias.reshape(1, bsz * k) - 2.0 * cross
         score = score.reshape(p, bsz, k)
@@ -436,11 +401,18 @@ def align(
     return ensemble_result(final.r, final.t, final.it, final.grad_norm)
 
 
+MIN_CONSTRAINT_POINTS = 6   # a 6-DoF system needs >= 6 constrained points
+
+
+def valid_pair_count(src_valid: jax.Array, cand_valid: jax.Array) -> jax.Array:
+    """Number of source points with at least one candidate (the degeneracy
+    statistic; the sharded loops psum this over point shards)."""
+    return jnp.sum(jnp.any(cand_valid, axis=1) & src_valid)
+
+
 def _degenerate(src_valid: jax.Array, cand_valid: jax.Array) -> jax.Array:
-    """True when fewer than 6 source points have any candidate at all —
-    not enough constraints for a 6-DoF system."""
-    n_pairs = jnp.sum(jnp.any(cand_valid, axis=1) & src_valid)
-    return n_pairs < 6
+    """True when too few source points have any candidate at all."""
+    return valid_pair_count(src_valid, cand_valid) < MIN_CONSTRAINT_POINTS
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

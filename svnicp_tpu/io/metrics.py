@@ -91,9 +91,17 @@ def nees(est_poses: np.ndarray, gt_poses: np.ndarray, guess_poses: np.ndarray,
     calibrated 6-DoF covariance gives mean NEES ~ 6; << 6 means the spread
     over-covers (conservative), >> 6 means overconfident.
 
+    est/gt may live in different world frames (the pipeline bootstraps at
+    identity while ground truth usually doesn't); est and guess are first
+    mapped into the gt frame by anchoring the first poses, since a constant
+    world offset would otherwise dominate every per-frame error.
+
     Inputs: [N,4,4] est/gt/guess poses and [N,6,6] covariances; frames with
     singular covariance are skipped. Returns (mean NEES, per-frame values).
     """
+    t0 = gt_poses[0] @ np.linalg.inv(est_poses[0])
+    est_poses = t0[None] @ est_poses
+    guess_poses = t0[None] @ guess_poses
     vals = []
     for i in range(len(est_poses)):
         g = guess_poses[i]

@@ -474,6 +474,48 @@ def fused_moments_plane_kb(
     return h, bvec
 
 
+def _pick_point_tile_kb(ptile: int, bsz: int, k: int, channels: int) -> int:
+    """Point tile for the K-on-sublane moments kernels: the live VMEM
+    residents are the score/hit pair (2*pt*k*bt f32) plus the double-
+    buffered streamed [*,k,bt] inputs (`channels` = 13 feat + 1 ndotc for
+    the plane kernel, 13 + 3 candidate coords for p2p). The kernels request
+    a 64 MB scoped-vmem limit (v5e has 128 MB physical) so estimate drift
+    cannot OOM, but smaller tiles pipeline better — the 11 MB budget is a
+    deliberate tile cap, not a hardware ceiling (measured on the lane-axis
+    predecessor: bt=128 beat bt=256 at the K=128 bench shape). Tiles must
+    be 128-multiples (free minor-dim split in the kernel)."""
+    for bt in (512, 256, 128):
+        if bsz % bt:
+            continue
+        est = 4 * (2 * ptile * k * bt + 2 * channels * k * bt + 10 * ptile * bt)
+        if est <= 11 * 1024 * 1024:
+            return bt
+    return 128 if bsz % 128 == 0 else bsz
+
+
+def fused_moments_dispatch(params, prep, plane: bool, max_dist: float,
+                           interpret: bool = False):
+    """Run the right K-on-sublane moments kernel for `prep` (the tuple from
+    prepare_moments_kb / prepare_moments_plane_kb) with tile sizes picked
+    for the caller's shapes. Single dispatch point shared by the single-
+    device align loop and the sharded per-shard loop — the prep tuple
+    layouts live only here."""
+    p = params.shape[0]
+    if plane:
+        k, bsz = prep[1].shape          # ndotc [K,B]
+        channels = 14
+    else:
+        _, k, bsz = prep[1].shape       # cand_kb [3,K,B]
+        channels = 16
+    # particles sit on the output lane axis: tile = full P (or a
+    # 128-multiple for very large ensembles)
+    ptile = p if p <= 128 else next((d for d in (256, 128) if p % d == 0), p)
+    btile = _pick_point_tile_kb(ptile, bsz, k, channels)
+    fn = fused_moments_plane_kb if plane else fused_moments_kb
+    return fn(params, *prep, max_dist, particle_tile=ptile, point_tile=btile,
+              interpret=interpret)
+
+
 def pallas_ok() -> bool:
     """Pallas kernels compile only on TPU; interpret-mode tests opt in via
     SVNICP_PALLAS_INTERPRET=1 (with pltpu.force_tpu_interpret_mode)."""

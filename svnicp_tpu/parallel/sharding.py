@@ -61,6 +61,14 @@ def auto_axes(n_devices: int, particle_count: int) -> tuple[int, int]:
     return particle, n_devices // particle
 
 
+def _degenerate_global(src_valid_l, cand_valid_l):
+    """svn._degenerate over the point shards: the pair count is psum'd so
+    every shard exits the alignment loop on the same iteration."""
+    n = jax.lax.psum(svn.valid_pair_count(src_valid_l, cand_valid_l),
+                     POINT_AXIS)
+    return n < svn.MIN_CONSTRAINT_POINTS
+
+
 def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
                        feat, bias, normals, prep, r0, t0, r, t):
     """One SVN epoch on a (particle, point) shard.
@@ -81,21 +89,10 @@ def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_va
     params = jnp.concatenate([r_total.reshape(p_local, 9), t_total], axis=-1)
     if prep is not None:
         # per-shard fused kernel: local H/b partials straight from VMEM
-        from svnicp_tpu.core.svn import _pick_point_tile_kb
         from svnicp_tpu.kernels import nn_pallas
 
-        ptile = p_local if p_local <= 128 else next(
-            (d for d in (256, 128) if p_local % d == 0), p_local)
-        kk = prep[1].shape[1 if normals is None else 0]
-        btile = _pick_point_tile_kb(ptile, bsz, kk)
-        if normals is not None:
-            hess, b = nn_pallas.fused_moments_plane_kb(
-                params, *prep, cfg.max_dist,
-                particle_tile=ptile, point_tile=btile)
-        else:
-            hess, b = nn_pallas.fused_moments_kb(
-                params, *prep, cfg.max_dist,
-                particle_tile=ptile, point_tile=btile)
+        hess, b = nn_pallas.fused_moments_dispatch(
+            params, prep, normals is not None, cfg.max_dist)
     else:
         transformed = (
             jnp.einsum("pij,bj->pbi", r_total, source,
@@ -220,12 +217,9 @@ def sharded_align(
             done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
             return (r_n, t_n, it + 1, grad_norm, done)
 
-        # degenerate-set guard (svn._degenerate), GLOBAL over point shards so
-        # every shard exits the loop on the same iteration
-        n_pairs = jax.lax.psum(
-            jnp.sum(jnp.any(cand_valid_l, axis=1) & src_valid_l), POINT_AXIS)
         init_state = (r, t, jnp.zeros((), jnp.int32),
-                      jnp.asarray(jnp.inf, source_l.dtype), n_pairs < 6)
+                      jnp.asarray(jnp.inf, source_l.dtype),
+                      _degenerate_global(src_valid_l, cand_valid_l))
         r_f, t_f, it, gn, _ = jax.lax.while_loop(cond, step, init_state)
 
         coords = jnp.concatenate([t_f, geo.bso3_log(r_f)], axis=-1)

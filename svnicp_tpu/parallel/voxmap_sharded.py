@@ -282,12 +282,9 @@ def sharded_register_with_map(
             done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
             return (r_n, t_n, it + 1, grad_norm, done)
 
-        # degenerate-set guard (svn._degenerate), global over point shards
-        n_pairs = jax.lax.psum(
-            jnp.sum(jnp.any(cand_valid, axis=1) & src_valid_l),
-            sharding.POINT_AXIS)
         init_state = (r, t, jnp.zeros((), jnp.int32),
-                      jnp.asarray(jnp.inf, source_l.dtype), n_pairs < 6)
+                      jnp.asarray(jnp.inf, source_l.dtype),
+                      sharding._degenerate_global(src_valid_l, cand_valid))
         r_f, t_f, it, gn, _ = jax.lax.while_loop(cond, step, init_state)
 
         coords = jnp.concatenate([t_f, geo.bso3_log(r_f)], axis=-1)

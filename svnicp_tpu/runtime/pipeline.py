@@ -327,17 +327,22 @@ def _odometry_step_impl(
     # --- update
     raw_var = result.var
     scaled_var = raw_var * jnp.asarray(cfg.lio.icp_cov_scales, dtype)
-    var_mean = smoother.mean_filtered(state.rings)          # excludes current
-    rings = smoother.push(state.rings, raw_var, scaled_var)
-    var_max = smoother.max_filtered(rings)                  # includes current
 
     # failure containment (ref skips the frame on align failure, :599-601):
     # a non-finite ensemble result OR a degenerate correspondence set
     # (grad_norm stays +inf when align skipped the loop — svn._degenerate)
-    # falls back to the prediction and leaves the filter and map untouched
+    # falls back to the prediction and leaves the filter, map AND the
+    # variance smoother rings untouched (a poisoned ring would corrupt the
+    # filtered measurement covariance for the whole following window)
     align_ok = (jnp.isfinite(result.mean).all()
                 & jnp.isfinite(result.var).all()
                 & jnp.isfinite(result.grad_norm))
+
+    var_mean = smoother.mean_filtered(state.rings)          # excludes current
+    pushed = smoother.push(state.rings, raw_var, scaled_var)
+    rings = jax.tree.map(lambda a, b: jnp.where(align_ok, a, b),
+                         pushed, state.rings)
+    var_max = smoother.max_filtered(rings)                  # includes current
     safe_mean = jnp.where(align_ok, result.mean, jnp.zeros(6, dtype))
 
     rc, tc = geo.so3_exp(safe_mean[3:]), safe_mean[:3]

@@ -522,13 +522,12 @@ class TestCovarianceCalibration:
         covariance: positive-definite every frame, and the NEES calibration
         metric must produce finite values on the synthetic sequence.
 
-        Measured finding (recorded in BASELINE.md): the RAW particle spread
-        at the grad-norm-converged equilibrium is strongly OVERCONFIDENT
-        (mean NEES ~1e4-1e5 vs the calibrated 6) — which is exactly why the
-        reference multiplies it by `icp_cov_scales` and runs mean /
-        max-sliding-window filters before handing it to the ESKF
-        (OdometryPipeline.cpp:747-762); this framework reproduces those
-        knobs (lio.icp_cov_scales, lio.cov_filter)."""
+        Measured calibration (BASELINE.md): mean NEES ~0.5 for the plane
+        flagship (slightly conservative) and ~90 for the grad-norm-converged
+        point-to-point path (overconfident — why the reference provides
+        `icp_cov_scales` and the mean / max-sliding-window filters,
+        OdometryPipeline.cpp:747-762; reproduced as lio.icp_cov_scales and
+        lio.cov_filter)."""
         cfg = small_cfg()
         pipe, gt = run_sequence(cfg, world, n_frames=12)
         n = len(pipe.outputs)
