@@ -71,6 +71,29 @@ int svn_stage_scan(const float* xyz, int n, float min_range, float max_range,
   return m;
 }
 
+// Crop variant carrying per-point timestamps (same selection and order).
+int svn_stage_scan_ts(const float* xyz, const float* ts, int n,
+                      float min_range, float max_range, float* out_xyz,
+                      float* out_ts, int capacity) {
+  const float min2 = min_range * min_range;
+  const float max2 = max_range * max_range;
+  int m = 0;
+  for (int i = 0; i < n && m < capacity; ++i) {
+    const float x = xyz[3 * i], y = xyz[3 * i + 1], z = xyz[3 * i + 2];
+    const float d2 = x * x + y * y + z * z;
+    if (d2 > min2 && d2 < max2 && std::isfinite(d2)) {
+      out_xyz[3 * m + 0] = x;
+      out_xyz[3 * m + 1] = y;
+      out_xyz[3 * m + 2] = z;
+      out_ts[m] = ts[i];
+      ++m;
+    }
+  }
+  std::memset(out_xyz + 3 * m, 0, sizeof(float) * 3 * (capacity - m));
+  std::memset(out_ts + m, 0, sizeof(float) * (capacity - m));
+  return m;
+}
+
 // ---------------------------------------------------------------------------
 // Two-stage uniform downsample on the host — the reference's CPU PCL
 // UniformSampling (ref: OdometryPipeline.cpp:684-690) done natively so the
@@ -109,7 +132,8 @@ inline uint32_t svn_hash32(uint32_t x) {
 // partial sort for the capacity truncation. Measured 4.3 ms -> ~1 ms at 32k
 // points on the per-frame critical path.
 int svn_downsample_stage(const float* xyz, int n, float voxel, float* out,
-                         int capacity) {
+                         int capacity, const float* ts = nullptr,
+                         float* out_ts = nullptr) {
   struct Entry { int32_t key; float d; int32_t idx; };   // one cache line
   size_t tsize = 64;
   while (tsize < (size_t)n * 2) tsize <<= 1;
@@ -180,8 +204,10 @@ int svn_downsample_stage(const float* xyz, int n, float voxel, float* out,
     rows.resize(capacity);
   }
   std::sort(rows.begin(), rows.end(), lt);
-  for (int j = 0; j < m; ++j)
+  for (int j = 0; j < m; ++j) {
     std::memcpy(out + 3 * j, xyz + 3 * rows[j].idx, sizeof(float) * 3);
+    if (out_ts) out_ts[j] = ts[rows[j].idx];
+  }
   return m;
 }
 
@@ -196,6 +222,17 @@ int svn_downsample_one_stage(const float* xyz, int n, float voxel,
                              float* out, int capacity) {
   const int m = svn_downsample_stage(xyz, n, voxel, out, capacity);
   std::memset(out + 3 * m, 0, sizeof(float) * 3 * (capacity - m));
+  return m;
+}
+
+// Single stage carrying per-point timestamps for the selected rows (the
+// fast-path device deskew needs the downsampled cloud's sweep times).
+int svn_downsample_one_stage_ts(const float* xyz, const float* ts, int n,
+                                float voxel, float* out, float* out_ts,
+                                int capacity) {
+  const int m = svn_downsample_stage(xyz, n, voxel, out, capacity, ts, out_ts);
+  std::memset(out + 3 * m, 0, sizeof(float) * 3 * (capacity - m));
+  std::memset(out_ts + m, 0, sizeof(float) * (capacity - m));
   return m;
 }
 

@@ -120,12 +120,15 @@ class PreprocessConfig:
     voxel_size: float = 1.0          # two-stage uniform downsample base size
     deskew: bool = False
     use_segmentation: bool = False
-    # run crop + the two-stage uniform downsample on the HOST (native C++,
+    # run crop + the stage-A uniform downsample on the HOST (native C++,
     # like the reference's CPU PCL preprocessing) instead of on-device: the
-    # upload shrinks from the raw scan to the two downsampled clouds — the
-    # remote-tunnel transfer is the measured frame-floor bottleneck. Only
-    # active when deskew and segmentation are off (both need the raw scan
-    # on device); the first (bootstrap) frame always ships raw.
+    # upload shrinks from the raw scan to one coarse cloud — the remote-
+    # tunnel transfer is the measured frame-floor bottleneck. Active unless
+    # segmentation is on (needs the raw scan on device); with deskew +
+    # per-point timestamps the selected rows' sweep times ride along as a
+    # 4th channel and the downsampled cloud is deskewed ON DEVICE
+    # (divergence: the raw path deskews BEFORE the downsample selection).
+    # The first (bootstrap) frame always ships raw.
     host_downsample: bool = False
     # ship the host-downsampled cloud as int16 on a 2^-8 m (3.9 mm) grid,
     # +/-128 m range — HALVES the per-frame upload, which is bandwidth-bound

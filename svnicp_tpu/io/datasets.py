@@ -78,6 +78,45 @@ class SyntheticWorld:
         return (local + rng.normal(scale=noise, size=local.shape)).astype(np.float32)
 
 
+    def scan_sweep(self, rng, pose0_r, pose0_t, pose1_r, pose1_t,
+                   n_points: int = 8000, max_range: float = 45.0,
+                   noise: float = 0.02):
+        """Motion-distorted scan: each point is observed from a pose screw-
+        interpolated between pose0 (sweep start, tau=0) and pose1 (sweep
+        end, tau=1), expressed in each point's OWN observation frame — the
+        distortion the deskew path inverts (tau in [0,1], reference pose at
+        tau=0.5). Returns (points [N,3] f32, tau [N] f32, (mid_r, mid_t))
+        where mid is the tau=0.5 pose the deskewed cloud lives in."""
+        import jax
+        import jax.numpy as _jnp
+
+        from svnicp_tpu.core import geometry as _geo
+
+        world_pts = self.sample_surface_points(rng, n_points * 3)
+        mid_t_rough = 0.5 * (pose0_t + pose1_t)
+        d = np.linalg.norm(world_pts - mid_t_rough[None], axis=1)
+        world_pts = world_pts[(d < max_range) & (d > 1.0)]
+        if len(world_pts) > n_points:
+            world_pts = world_pts[rng.choice(len(world_pts), n_points,
+                                             replace=False)]
+        tau = rng.uniform(0.0, 1.0, len(world_pts)).astype(np.float32)
+
+        rd, td = _geo.transform_compose(
+            *_geo.transform_inverse(_jnp.asarray(pose0_r), _jnp.asarray(pose0_t)),
+            _jnp.asarray(pose1_r), _jnp.asarray(pose1_t))
+        xi = _geo.se3_log(rd, td)
+        rs, ts = jax.vmap(_geo.se3_exp)(_jnp.asarray(tau)[:, None] * xi[None])
+        r_obs = np.asarray(_jnp.einsum("ij,njk->nik", _jnp.asarray(pose0_r), rs))
+        t_obs = np.asarray(ts) @ np.asarray(pose0_r).T + pose0_t[None]
+        local = np.einsum("nji,nj->ni", r_obs,
+                          world_pts - t_obs)           # R_obs^T (p - t_obs)
+        rm, tm = _geo.se3_exp(0.5 * xi)
+        mid_r = pose0_r @ np.asarray(rm)
+        mid_t = pose0_r @ np.asarray(tm) + pose0_t
+        local += rng.normal(scale=noise, size=local.shape)
+        return local.astype(np.float32), tau, (mid_r, mid_t)
+
+
 def synthetic_trajectory(n_frames: int, dt: float = 0.1, speed: float = 1.5,
                          turn_rate: float = 0.08, seed: int = 0,
                          ramp_seconds: float = 0.0):

@@ -46,6 +46,18 @@ if os.path.exists(_LIB_PATH):
     _lib.svn_downsample_one_stage.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    _lib.svn_stage_scan_ts.restype = ctypes.c_int
+    _lib.svn_stage_scan_ts.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int]
+    _lib.svn_downsample_one_stage_ts.restype = ctypes.c_int
+    _lib.svn_downsample_one_stage_ts.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int]
     _lib.svn_extract_timestamps.restype = ctypes.c_int
     _lib.svn_extract_timestamps.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -105,8 +117,14 @@ def stage_scan(xyz: np.ndarray, min_range: float, max_range: float,
 def _np_downsample_stage(xyz: np.ndarray, voxel: float, capacity: int) -> np.ndarray:
     """Numpy fallback of one uniform-downsample stage — same selection and
     ordering as the native path / core.pointcloud.downsample_uniform."""
+    return xyz[_np_downsample_stage_indices(xyz, voxel, capacity)]
+
+
+def _np_downsample_stage_indices(xyz: np.ndarray, voxel: float,
+                                 capacity: int) -> np.ndarray:
+    """Selected input-row indices of one downsample stage (order included)."""
     if len(xyz) == 0:
-        return xyz[:0]
+        return np.zeros(0, np.int64)
     bits, mask, half = 10, (1 << 10) - 1, 1 << 9
     g = np.floor(xyz.astype(np.float32) / np.float32(voxel)).astype(np.int64)
     key = (((g[:, 0] + half) & mask) << (2 * bits)) | \
@@ -125,7 +143,7 @@ def _np_downsample_stage(xyz: np.ndarray, voxel: float, capacity: int) -> np.nda
     x ^= x >> 16
     rank = (x & np.uint32(0xFFFFFFFE)).astype(np.int32)
     ordr = np.lexsort((key[sel], rank))
-    return xyz[sel[ordr][:capacity]]
+    return sel[ordr][:capacity]
 
 
 def downsample_two_stage(xyz: np.ndarray, voxel: float, src_capacity: int,
@@ -148,6 +166,49 @@ def downsample_two_stage(xyz: np.ndarray, voxel: float, src_capacity: int,
         _fptr(xyz), len(xyz), voxel, _fptr(out_map), map_capacity,
         ctypes.byref(n_map), _fptr(out_src), src_capacity, ctypes.byref(n_src))
     return out_map, n_map.value, out_src, n_src.value
+
+
+def stage_scan_ts(xyz: np.ndarray, ts: np.ndarray, min_range: float,
+                  max_range: float, capacity: int
+                  ) -> tuple[np.ndarray, np.ndarray, int]:
+    """`stage_scan` carrying per-point timestamps (same selection/order) ->
+    (padded [capacity,3], padded ts [capacity], count)."""
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    ts = np.ascontiguousarray(ts, np.float32)
+    if _lib is None:
+        d2 = (xyz * xyz).sum(1)
+        keep = (d2 > min_range**2) & (d2 < max_range**2) & np.isfinite(d2)
+        pts, tt = xyz[keep][:capacity], ts[keep][:capacity]
+        out = np.zeros((capacity, 3), np.float32)
+        out_ts = np.zeros(capacity, np.float32)
+        out[: len(pts)] = pts
+        out_ts[: len(pts)] = tt
+        return out, out_ts, len(pts)
+    out = np.empty((capacity, 3), np.float32)
+    out_ts = np.empty(capacity, np.float32)
+    n = _lib.svn_stage_scan_ts(_fptr(xyz), _fptr(ts), len(xyz), min_range,
+                               max_range, _fptr(out), _fptr(out_ts), capacity)
+    return out, out_ts, n
+
+
+def downsample_one_stage_ts(xyz: np.ndarray, ts: np.ndarray, voxel: float,
+                            capacity: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """`downsample_one_stage` carrying the selected rows' timestamps."""
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    ts = np.ascontiguousarray(ts, np.float32)
+    out = np.zeros((capacity, 3), np.float32)
+    out_ts = np.zeros(capacity, np.float32)
+    if _lib is None:
+        # numpy fallback: recompute the selection, then match rows back to
+        # input indices to carry ts (selection identical to the native path)
+        sel = _np_downsample_stage_indices(xyz, voxel, capacity)
+        out[: len(sel)] = xyz[sel]
+        out_ts[: len(sel)] = ts[sel]
+        return out, out_ts, len(sel)
+    n = _lib.svn_downsample_one_stage_ts(
+        _fptr(xyz), _fptr(ts), len(xyz), voxel, _fptr(out), _fptr(out_ts),
+        capacity)
+    return out, out_ts, n
 
 
 def downsample_one_stage(xyz: np.ndarray, voxel: float,

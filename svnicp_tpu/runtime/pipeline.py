@@ -475,7 +475,14 @@ def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
     (downsample of to_map — identical selection to the host/native stage B,
     three-way tested), so the per-frame upload ships only the coarse cloud:
     the tunnel transfer is the frame-floor bottleneck (see
-    preprocess.host_downsample)."""
+    preprocess.host_downsample).
+
+    With preprocess.deskew and per-point timestamps, ds_buf is [2*src_cap,4]
+    (xyz + normalized sweep time of the SELECTED rows) and the downsampled
+    cloud is deskewed ON DEVICE with the last relative motion before stage B
+    — documented divergence from the raw path, which deskews BEFORE the
+    downsample selection (the selection itself sees skewed points; at LiDAR
+    motion scales the voxel assignments barely differ)."""
     from svnicp_tpu.core import pointcloud as pc
     from svnicp_tpu.core.pointcloud import PaddedCloud
 
@@ -487,9 +494,21 @@ def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
     n_imu = meta[2].astype(jnp.int32)
     if ds_buf.dtype == jnp.int16:
         # quantized upload (preprocess.quantize_upload): 2^-8 m grid
+        # (channel 3, when present, is the normalized sweep time — the same
+        # grid gives ~0.4% of a sweep resolution)
         ds_buf = ds_buf.astype(dtype) * (2.0 ** -8)
-    to_map = PaddedCloud(ds_buf[:map_cap],
+    to_map = PaddedCloud(ds_buf[:map_cap, :3],
                          jnp.arange(map_cap, dtype=jnp.int32) < n_map)
+    if cfg.preprocess.deskew and ds_buf.shape[1] == 4:
+        rd, td = geo.transform_compose(
+            *geo.transform_inverse(state.prev_r, state.prev_t),
+            state.pose_r, state.pose_t)
+        delta_xi = geo.se3_log(rd, td)
+        delta_xi = jnp.where(state.frame_idx >= 2, delta_xi,
+                             jnp.zeros(6, dtype))
+        pts = pc.deskew(to_map.points, to_map.valid, ds_buf[:map_cap, 3],
+                        delta_xi)
+        to_map = PaddedCloud(pts, to_map.valid)
     source = pc.downsample_uniform(to_map, 1.5 * cfg.preprocess.voxel_size,
                                    src_cap)
     frame = FrameInput(
@@ -658,23 +677,34 @@ class LIOPipeline:
             imu_buf[i, 4:7] = g
         return imu_buf, len(triples)
 
-    def _stage_scan_pre(self, points: np.ndarray):
+    def _stage_scan_pre(self, points: np.ndarray, timestamps=None):
         """Scan half of the host-preprocessed staging: native crop + the
         stage-A (0.5*voxel) uniform downsample, packed as ONE [2*src_cap,3]
-        upload. The stage-B source cloud is derived on DEVICE from this
+        upload (or [2*src_cap,4] with the selected rows' sweep times when
+        deskewing). The stage-B source cloud is derived on DEVICE from this
         cloud (identical selection), so only the coarse cloud ships over
         the tunnel. Pure (no pipeline state), so it can run on the
         stage-ahead worker thread; the native calls release the GIL."""
         from svnicp_tpu.io import native
 
+        pp = self.cfg.preprocess
         points = self._apply_extrinsic(points)
-        pts, _, n = native.stage_scan(
-            np.asarray(points, np.float32), self.cfg.preprocess.min_range,
-            self.cfg.preprocess.max_range, self.cfg.preprocess.raw_capacity)
-        map_buf, n_map = native.downsample_one_stage(
-            pts[: int(n)], 0.5 * self.cfg.preprocess.voxel_size,
-            2 * self.cfg.icp.source_capacity)
-        if self.cfg.preprocess.quantize_upload:
+        cap2 = 2 * self.cfg.icp.source_capacity
+        if timestamps is not None:
+            pts, ts, n = native.stage_scan_ts(
+                np.asarray(points, np.float32),
+                np.asarray(timestamps, np.float32),
+                pp.min_range, pp.max_range, pp.raw_capacity)
+            map_buf, map_ts, n_map = native.downsample_one_stage_ts(
+                pts[: int(n)], ts[: int(n)], 0.5 * pp.voxel_size, cap2)
+            map_buf = np.concatenate([map_buf, map_ts[:, None]], axis=1)
+        else:
+            pts, _, n = native.stage_scan(
+                np.asarray(points, np.float32), pp.min_range, pp.max_range,
+                pp.raw_capacity)
+            map_buf, n_map = native.downsample_one_stage(
+                pts[: int(n)], 0.5 * pp.voxel_size, cap2)
+        if pp.quantize_upload:
             # 2^-8 m grid, +/-128 m — dequantized on device (see
             # odometry_step_packed_pre); halves the tunnel upload. Config
             # validation bounds max_range; the clip guards stray outliers.
@@ -682,10 +712,10 @@ class LIOPipeline:
             return q.astype(np.int16), n_map
         return map_buf.astype(self.cfg.np_dtype, copy=False), n_map
 
-    def _pack_frame_pre(self, t: float, points: np.ndarray):
+    def _pack_frame_pre(self, t: float, points: np.ndarray, timestamps=None):
         """Host-preprocessed staging (preprocess.host_downsample): scan
         staging + imu window + meta [3] = (stamp, n_map, n_imu)."""
-        ds_buf, n_map = self._stage_scan_pre(points)
+        ds_buf, n_map = self._stage_scan_pre(points, timestamps)
         imu_buf, n_imu = self._pack_imu(t)
         meta = np.array([t, n_map, n_imu], np.float64)
         return ds_buf, imu_buf, meta
@@ -711,9 +741,15 @@ class LIOPipeline:
         ):
             return None
         pp = self.cfg.preprocess
-        host_ds = (pp.host_downsample and not pp.deskew
-                   and not pp.use_segmentation and timestamps is None
-                   and self._frames > 0)
+        # fast path applies when segmentation is off: plain when no
+        # timestamps are in play, ts-carrying when deskew is on and
+        # per-point times are given (device-side deskew of the downsampled
+        # cloud — see odometry_step_packed_pre). Timestamps WITHOUT deskew
+        # keep the raw path (ts would be silently dropped otherwise).
+        host_ds = (pp.host_downsample and not pp.use_segmentation
+                   and self._frames > 0
+                   and (timestamps is None or pp.deskew))
+        ds_ts = timestamps if (host_ds and pp.deskew) else None
         batch_n = self.cfg.dispatch_batch if self.posegraph is None else 1
         if self._frames == 0:
             scan_buf, imu_buf, meta = self._pack_frame(t, points, timestamps)
@@ -726,11 +762,11 @@ class LIOPipeline:
                 and self.posegraph is None):
             # (pose graph excluded: it needs per-frame host decisions on the
             # CURRENT frame's output, incompatible with 1-frame latency)
-            return self._feed_scan_ahead(t, points)
+            return self._feed_scan_ahead(t, points, ds_ts)
         if self._pending:
             self.flush()    # staging mode changed mid-stream: keep order
         kind = "pre" if host_ds else "raw"
-        bufs = (self._pack_frame_pre(t, points) if host_ds
+        bufs = (self._pack_frame_pre(t, points, ds_ts) if host_ds
                 else self._pack_frame(t, points, timestamps))
         if batch_n > 1:
             if self._batch and self._batch_kind != kind:
@@ -747,7 +783,8 @@ class LIOPipeline:
         self._record_frame(t, out, points)
         return out
 
-    def _feed_scan_ahead(self, t: float, points: np.ndarray) -> FrameOutput | None:
+    def _feed_scan_ahead(self, t: float, points: np.ndarray,
+                        timestamps=None) -> FrameOutput | None:
         """Stage-ahead mode (cfg.stage_ahead): submit frame t's scan staging
         to the worker thread, dispatch the previously staged frame. The
         2-3 ms of native staging overlaps the device computing the prior
@@ -760,7 +797,7 @@ class LIOPipeline:
             self._stage_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="svnicp-stage")
         imu_buf, n_imu = self._pack_imu(t)
-        fut = self._stage_pool.submit(self._stage_scan_pre, points)
+        fut = self._stage_pool.submit(self._stage_scan_pre, points, timestamps)
         self._frames += 1
         self._last_frame_time = t
         self._pending.append((t, imu_buf, n_imu, fut))

@@ -544,3 +544,49 @@ class TestCovarianceCalibration:
         mean_nees, vals = metrics.nees(est[1:], gt[1:], guess[1:], covs[1:])
         assert len(vals) == n - 1
         assert np.isfinite(mean_nees) and mean_nees > 0
+
+
+class TestFastPathDeskew:
+    def _sweep_sequence(self, world, cfg, n_frames=8):
+        times, rots, trans = datasets.synthetic_trajectory(
+            n_frames + 1, dt=0.1, speed=2.5, seed=5)
+        rng2 = np.random.default_rng(5)
+        pipe = pl.LIOPipeline(cfg)
+        gts = []
+        for i in range(n_frames):
+            pts, tau, (mid_r, mid_t) = world.scan_sweep(
+                rng2, rots[i], trans[i], rots[i + 1], trans[i + 1],
+                n_points=4000, noise=0.01)
+            pipe.feed_scan(float(times[i]), pts, timestamps=tau)
+            g = np.eye(4)
+            g[:3, :3], g[:3, 3] = mid_r, mid_t
+            gts.append(g)
+        pipe.flush()
+        return pipe, np.stack(gts)
+
+    def test_device_deskew_on_fast_path(self, world):
+        """preprocess.deskew + per-point timestamps on the host_downsample
+        fast path: the downsampled cloud is deskewed ON DEVICE. Must track
+        the mid-sweep ground truth about as well as the raw (slow) deskew
+        path, and clearly better than ignoring the distortion."""
+        base = small_cfg(preprocess=dataclasses.replace(
+            small_cfg().preprocess, deskew=True, host_downsample=True))
+        base = dataclasses.replace(base, stage_ahead=True)
+        pipe_fast, gt = self._sweep_sequence(world, base)
+        assert len(pipe_fast.outputs) == len(gt)
+        ate_fast = metrics.ate_rmse(pipe_fast.trajectory(), gt, align="first")
+
+        slow = dataclasses.replace(base, stage_ahead=False,
+                                   preprocess=dataclasses.replace(
+                                       base.preprocess, host_downsample=False))
+        pipe_slow, _ = self._sweep_sequence(world, slow)
+        ate_slow = metrics.ate_rmse(pipe_slow.trajectory(), gt, align="first")
+
+        no_dsk = dataclasses.replace(base, preprocess=dataclasses.replace(
+            base.preprocess, deskew=False))
+        pipe_raw, _ = self._sweep_sequence(world, no_dsk)
+        ate_raw = metrics.ate_rmse(pipe_raw.trajectory(), gt, align="first")
+
+        assert ate_fast < 0.15, (ate_fast, ate_slow, ate_raw)
+        assert ate_fast < 1.5 * ate_slow + 0.02, (ate_fast, ate_slow)
+        assert ate_fast < ate_raw, (ate_fast, ate_raw)
