@@ -165,3 +165,24 @@ def test_downsample_boundary_values_match_device():
     m_buf, n_map, _, _ = native.downsample_two_stage(xyz, 1.5, 16, 16)
     assert n_map == len(dev_pts)
     np.testing.assert_array_equal(m_buf[:n_map], dev_pts)
+
+
+def test_ts_staging_matches_numpy_fallback(rng):
+    """ts-carrying crop + downsample: native selection and carried
+    timestamps must match the numpy fallback exactly."""
+    from svnicp_tpu.io import native
+
+    pts = rng.normal(size=(3000, 3)).astype(np.float32) * 20
+    ts = rng.random(3000).astype(np.float32)
+    a_xyz, a_ts, an = native.stage_scan_ts(pts, ts, 1.0, 40.0, 4096)
+    d2 = (pts * pts).sum(1)
+    keep = (d2 > 1.0) & (d2 < 1600.0)
+    np.testing.assert_array_equal(a_xyz[: int(an)], pts[keep][:4096])
+    np.testing.assert_array_equal(a_ts[: int(an)], ts[keep][:4096])
+
+    b_xyz, b_ts, bn = native.downsample_one_stage_ts(
+        a_xyz[: int(an)], a_ts[: int(an)], 0.5, 2048)
+    sel = native._np_downsample_stage_indices(a_xyz[: int(an)], 0.5, 2048)
+    np.testing.assert_array_equal(b_xyz[: int(bn)], a_xyz[: int(an)][sel])
+    np.testing.assert_array_equal(b_ts[: int(bn)], a_ts[: int(an)][sel])
+    assert int(bn) == len(sel)

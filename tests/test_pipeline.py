@@ -570,7 +570,8 @@ class TestFastPathDeskew:
         the mid-sweep ground truth about as well as the raw (slow) deskew
         path, and clearly better than ignoring the distortion."""
         base = small_cfg(preprocess=dataclasses.replace(
-            small_cfg().preprocess, deskew=True, host_downsample=True))
+            small_cfg().preprocess, deskew=True, host_downsample=True,
+            quantize_upload=True))   # ts rides the quantized 4th channel
         base = dataclasses.replace(base, stage_ahead=True)
         pipe_fast, gt = self._sweep_sequence(world, base)
         assert len(pipe_fast.outputs) == len(gt)
