@@ -52,21 +52,31 @@ def _run_stream(cfg, stream, imu_stream=None, writer=None, gt_poses=None,
             pipe.feed_imu(t, acc, gyro)
 
     n_frames = 0
+    kf_mode = cfg.lio.estimator == "kf"
 
-    def drain_new(step_wall: float) -> None:
-        # records come from the pipeline's own (time, output) pairs so
-        # stage_ahead / dispatch_batch latency can't skew the stamps
+    def drain_new() -> None:
+        # records come from the pipeline's own (time, output, timing)
+        # triples so stage_ahead / dispatch_batch latency can't skew them
         nonlocal n_frames
         while n_frames < len(pipe.outputs):
             t_out = pipe.times[n_frames]
             out = pipe.outputs[n_frames]
+            timing = pipe.frame_timings[n_frames]
             n_frames += 1
             if writer is not None:
+                # converting the output to records syncs on the device
+                # result, so the sync span completes the (async) dispatch
+                # wall into a true per-frame alignment time
+                t_sync = time.perf_counter()
+                recs = records.frame_records(t_out, out,
+                                             include_kf_gain=kf_mode)
+                sync_wall = time.perf_counter() - t_sync
                 writer.write(records.RuntimeRecord(
-                    stamp=t_out, preprocessing_time=0.0,
-                    steinicp_time=step_wall,
+                    stamp=t_out,
+                    preprocessing_time=timing["preprocessing_time"],
+                    steinicp_time=timing["steinicp_time"] + sync_wall,
                     finish_iter=int(out.icp_iterations)))
-                writer.write_all(records.frame_records(t_out, out))
+                writer.write_all(recs)
             if progress and n_frames % 20 == 0:
                 p = np.asarray(out.pose_t)
                 print(f"[svnicp] frame {n_frames}  "
@@ -77,11 +87,10 @@ def _run_stream(cfg, stream, imu_stream=None, writer=None, gt_poses=None,
     for item in stream:
         t, pts = item[0], item[1]
         ts = item[2] if len(item) > 2 else None
-        t0 = time.perf_counter()
         pipe.feed_scan(t, pts, ts)
-        drain_new(time.perf_counter() - t0)
+        drain_new()
     pipe.flush()    # staged-ahead / batched tail
-    drain_new(0.0)
+    drain_new()
     wall = time.perf_counter() - t_start
 
     est = pipe.trajectory()
@@ -103,6 +112,10 @@ def cmd_demo(args):
     from svnicp_tpu.io import datasets
 
     cfg = _load_config(args.config)
+    if args.save_particles:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, save_particles=True)
     world = datasets.SyntheticWorld(extent=60.0, seed=args.seed)
     times, rots, trans = datasets.synthetic_trajectory(
         args.frames, dt=0.1, speed=1.5, seed=args.seed, ramp_seconds=1.0)
@@ -167,6 +180,9 @@ def main(argv=None):
     d.add_argument("--points", type=int, default=8000)
     d.add_argument("--seed", type=int, default=0)
     d.add_argument("--output", default=None, help="JSONL record stream path")
+    d.add_argument("--save-particles", action="store_true",
+                   help="record per-iteration particle trajectories "
+                        "(ParticleHistoryRecord, ref /svnicp/all_particles)")
     d.set_defaults(fn=cmd_demo)
 
     k = sub.add_parser("kitti", help="KITTI odometry sequence directory")

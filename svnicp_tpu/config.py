@@ -232,6 +232,12 @@ class PipelineConfig:
     sharding: ShardingConfig = dataclasses.field(default_factory=ShardingConfig)
     dtype: str = "float32"
     seed: int = 0
+    # record the per-iteration particle trajectories [iters,P,6] in every
+    # FrameOutput (ref: the save_particles param routing particle_stack_
+    # into /svnicp/all_particles, OdometryPipeline.cpp:1019-1023, 966-985).
+    # Supported on the single-device "svn" path; the alignment runs all
+    # cfg.icp.iterations epochs with post-convergence updates frozen.
+    save_particles: bool = False
     # frames per device dispatch (lax.scan inside one jitted call). 1 =
     # live/low-latency mode. >1 amortizes per-program launch overhead —
     # worthwhile on remote-tunnel devices (measured ~5 ms/frame of launch
@@ -246,6 +252,12 @@ class PipelineConfig:
     # dispatch_batch == 1 and no pose graph; results are bit-identical to
     # the synchronous path (staging is pure, frames dispatch in order).
     stage_ahead: bool = False
+
+    def __post_init__(self):
+        if self.save_particles and self.icp.method != "svn":
+            raise ValueError(
+                "save_particles records the per-iteration particle stack of "
+                f"the 'svn' method; got method={self.icp.method!r}")
 
     @property
     def np_dtype(self):

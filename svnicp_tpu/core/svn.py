@@ -479,3 +479,17 @@ def register(
     cand_pts, cand_valid = knn.find_candidate_points(
         cfg, source_at_guess, target, src_valid, tgt_valid)
     return align(cfg, source, src_valid, cand_pts, cand_valid, r0, t0, init_particles)
+
+
+def register_with_history(
+    cfg: SteinICPConfig,
+    source, src_valid, target, tgt_valid, r0, t0, init_particles,
+) -> tuple[AlignResult, jax.Array]:
+    """`register` variant returning the per-iteration particle stack
+    [iters,P,6] alongside the result (ref: particle_stack_ logging fed to
+    /svnicp/all_particles, SVNICP.cpp:103-107 + OdometryPipeline.cpp:966-985)."""
+    source_at_guess = geo.transform_points(r0, t0, source)
+    cand_pts, cand_valid = knn.find_candidate_points(
+        cfg, source_at_guess, target, src_valid, tgt_valid)
+    return align_with_history(cfg, source, src_valid, cand_pts, cand_valid,
+                              r0, t0, init_particles)

@@ -109,6 +109,47 @@ class ParametersRecord:
 
 
 @dataclasses.dataclass
+class ParticleHistoryRecord:
+    """ref: stein_msgs/msg/SteinParticleArray.msg — the full per-iteration
+    particle trajectories (/svnicp/all_particles publisher fed by
+    particle_stack_, OdometryPipeline.cpp:966-985). Each per-dim field is
+    [iters][P]; only the iterations actually run are included (updates are
+    frozen after convergence)."""
+
+    stamp: float
+    iterations: int
+    x: list
+    y: list
+    z: list
+    roll: list
+    pitch: list
+    yaw: list
+
+    @staticmethod
+    def from_history(stamp: float, history, iterations: int) -> "ParticleHistoryRecord":
+        h = np.asarray(history)[: max(int(iterations), 1)]   # [it,P,6]
+        return ParticleHistoryRecord(
+            stamp=stamp, iterations=int(iterations),
+            x=h[:, :, 0].tolist(), y=h[:, :, 1].tolist(), z=h[:, :, 2].tolist(),
+            roll=h[:, :, 3].tolist(), pitch=h[:, :, 4].tolist(),
+            yaw=h[:, :, 5].tolist(),
+        )
+
+
+@dataclasses.dataclass
+class KFGainRecord:
+    """ref: the KF gain + covariance debug publisher
+    (/svnicp/kf_gain, OdometryPipeline.cpp:789-795): the [15,6] Kalman gain,
+    the post-update state covariance diagonal, and the ICP measurement
+    covariance that produced them."""
+
+    stamp: float
+    gain: list          # [15][6]
+    kf_cov_diag: list   # [15]
+    icp_cov: list       # [6][6] particle covariance fed to the update
+
+
+@dataclasses.dataclass
 class OdometryRecord:
     """Pose + twist + covariance (ref: nav_msgs Odometry publisher :861-920)."""
 
@@ -137,8 +178,11 @@ def quaternion_from_matrix(r: np.ndarray) -> list:
     return q
 
 
-def frame_records(stamp: float, out, include_particles: bool = True):
-    """Expand a pipeline FrameOutput into its record set."""
+def frame_records(stamp: float, out, include_particles: bool = True,
+                  include_kf_gain: bool = False):
+    """Expand a pipeline FrameOutput into its record set. The particle
+    history record is emitted whenever the output carries one
+    (cfg.save_particles); the KF gain echo is opt-in (kf mode only)."""
     recs = [
         OdometryRecord(
             stamp=stamp,
@@ -157,6 +201,17 @@ def frame_records(stamp: float, out, include_particles: bool = True):
     ]
     if include_particles:
         recs.append(ParticleRecord.from_particles(stamp, out.particles, out.weights))
+    history = getattr(out, "history", None)
+    if history is not None and history.shape[0] > 0 and int(out.icp_iterations) > 0:
+        recs.append(ParticleHistoryRecord.from_history(
+            stamp, history, int(out.icp_iterations)))
+    if include_kf_gain:
+        recs.append(KFGainRecord(
+            stamp=stamp,
+            gain=np.asarray(out.kf_gain).tolist(),
+            kf_cov_diag=_tolist(out.kf_cov_diag),
+            icp_cov=np.asarray(out.cov).tolist(),
+        ))
     return recs
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import NamedTuple
 
 import jax
@@ -62,6 +63,8 @@ class FrameInput(NamedTuple):
     time: jax.Array            # scalar frame stamp [s]
     imu: imu_mod.IMUSample     # [W]-batched window covering (t_{k-1}, t_k]
     imu_valid: jax.Array       # [W] bool
+    imu_dropped: jax.Array     # scalar int32: oldest samples the host window
+                               # could not hold (0 in normal operation)
 
 
 class FrameOutput(NamedTuple):
@@ -86,6 +89,19 @@ class FrameOutput(NamedTuple):
     map_points: jax.Array      # scalar int32
     map_dropped: jax.Array     # scalar int32
     target_overflow: jax.Array # scalar int32
+    imu_dropped: jax.Array     # scalar int32: IMU samples lost to window overflow
+    kf_gain: jax.Array         # [15,6] last ESKF Kalman gain (zeros in icp mode;
+                               # ref: /svnicp/kf_gain, OdometryPipeline.cpp:789-795)
+    kf_cov_diag: jax.Array     # [15] ESKF covariance diagonal after update
+    history: jax.Array         # [H,P,6] per-iteration particle stack; H =
+                               # cfg.icp.iterations when cfg.save_particles
+                               # (svn, single-device), else 0
+                               # (ref: /svnicp/all_particles, :966-985)
+
+
+def _hist_len(cfg: PipelineConfig) -> int:
+    """Static length of FrameOutput.history under this config."""
+    return cfg.icp.iterations if cfg.save_particles else 0
 
 
 def init_state(cfg: PipelineConfig) -> OdometryState:
@@ -215,6 +231,9 @@ def _bootstrap_impl(cfg: PipelineConfig, state: OdometryState, frame: FrameInput
         align_ok=jnp.ones((), bool),
         map_points=new_map.count().astype(jnp.int32), map_dropped=dropped.astype(jnp.int32),
         target_overflow=jnp.zeros((), jnp.int32),
+        imu_dropped=frame.imu_dropped.astype(jnp.int32),
+        kf_gain=state.eskf.gain, kf_cov_diag=jnp.diagonal(state.eskf.cov),
+        history=jnp.zeros((_hist_len(cfg), p, 6), dtype),
     )
 
 
@@ -231,6 +250,13 @@ def _odometry_step_impl(
     scan (preprocess.host_downsample) and the device skips _preprocess.
     """
     dtype = jnp.dtype(cfg.dtype)
+    hist_on = cfg.save_particles and cfg.icp.method == "svn"
+    if hist_on and mesh is not None:
+        raise ValueError(
+            "save_particles records the particle stack on the single-device "
+            "svn path; the sharded while_loop does not log per-iteration "
+            "state — disable save_particles for mesh runs")
+    history = jnp.zeros((0, cfg.icp.particle_count, 6), dtype)
 
     # --- ESKF propagation over the IMU window (KF mode)
     if cfg.lio.estimator == "kf":
@@ -279,10 +305,16 @@ def _odometry_step_impl(
             state.vmap, src_world, source.valid,
             cfg.map.voxel_size, cfg.icp.voxel_candidate_cap,
         )
-        result = svn.align(
-            cfg.icp, source.points, source.valid, cand_pts, cand_valid,
-            guess_r, guess_t, init_particles,
-        )
+        if hist_on:
+            result, history = svn.align_with_history(
+                cfg.icp, source.points, source.valid, cand_pts, cand_valid,
+                guess_r, guess_t, init_particles,
+            )
+        else:
+            result = svn.align(
+                cfg.icp, source.points, source.valid, cand_pts, cand_valid,
+                guess_r, guess_t, init_particles,
+            )
         target = None
     else:
         # --- local map query around the guess (ref :576-581; radius
@@ -315,6 +347,11 @@ def _odometry_step_impl(
         from svnicp_tpu.core import icp_svd
 
         result = icp_svd.register(
+            cfg.icp, source.points, source.valid, target.points, target.valid,
+            guess_r, guess_t, init_particles,
+        )
+    elif hist_on:
+        result, history = svn.register_with_history(
             cfg.icp, source.points, source.valid, target.points, target.valid,
             guess_r, guess_t, init_particles,
         )
@@ -416,6 +453,9 @@ def _odometry_step_impl(
         map_points=new_map.count().astype(jnp.int32),
         map_dropped=dropped.astype(jnp.int32),
         target_overflow=overflow.astype(jnp.int32),
+        imu_dropped=frame.imu_dropped.astype(jnp.int32),
+        kf_gain=ekf.gain, kf_cov_diag=jnp.diagonal(ekf.cov),
+        history=history,
     )
     return new_state, out
 
@@ -431,8 +471,8 @@ def _unpack_frame(cfg: PipelineConfig, scan_buf: jax.Array, imu_buf: jax.Array,
                   meta: jax.Array) -> FrameInput:
     """Rebuild a FrameInput from the packed host buffers (see
     `LIOPipeline._pack_frame`): scan_buf [cap,4] = xyz + per-point time,
-    imu_buf [W,7] = dt + acc + gyro, meta [3] f64 = (stamp, n_points, n_imu).
-    Validity masks are prefix masks reconstructed from the counts."""
+    imu_buf [W,7] = dt + acc + gyro, meta [4] f64 = (stamp, n_points, n_imu,
+    n_imu_dropped). Validity masks are prefix masks from the counts."""
     dtype = jnp.dtype(cfg.dtype)
     cap = scan_buf.shape[0]
     w = imu_buf.shape[0]
@@ -445,6 +485,7 @@ def _unpack_frame(cfg: PipelineConfig, scan_buf: jax.Array, imu_buf: jax.Array,
         time=meta[0].astype(dtype),
         imu=imu_mod.IMUSample(imu_buf[:, 0], imu_buf[:, 1:4], imu_buf[:, 4:7]),
         imu_valid=jnp.arange(w, dtype=jnp.int32) < n_imu,
+        imu_dropped=meta[3].astype(jnp.int32),
     )
 
 
@@ -518,6 +559,7 @@ def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
         time=meta[0].astype(dtype),
         imu=imu_mod.IMUSample(imu_buf[:, 0], imu_buf[:, 1:4], imu_buf[:, 4:7]),
         imu_valid=jnp.arange(w, dtype=jnp.int32) < n_imu,
+        imu_dropped=meta[3].astype(jnp.int32),
     )
     return _odometry_step_impl(cfg, state, frame, pre=(to_map, source))
 
@@ -578,6 +620,14 @@ class LIOPipeline:
         self._frames = 0
         self.outputs: list[FrameOutput] = []
         self.times: list[float] = []
+        self.imu_dropped_total = 0
+        from svnicp_tpu.runtime.profiling import StageTimer
+
+        # per-stage wall clocks; frame_timings[i] pairs with outputs[i]:
+        # {"preprocessing_time": host staging [s], "steinicp_time": device
+        #  dispatch [s] (async — add a sync span for end-to-end, see cli.py)}
+        self.timer = StageTimer()
+        self.frame_timings: list[dict] = []
         self.posegraph = None
         self._batch: list = []
         self._batch_kind: str = "raw"
@@ -636,26 +686,28 @@ class LIOPipeline:
         staging paths produce prefix-valid rows, so validity travels as the
         counts in `meta` instead of two boolean arrays."""
         cap = self.cfg.preprocess.raw_capacity
-        points = self._apply_extrinsic(points)
-        scan_buf = np.zeros((cap, 4), self.cfg.np_dtype)
-        if timestamps is None:
-            # native one-pass crop+pad (timestamp path must keep point order
-            # aligned with the timestamps, so it stays on the plain pad path)
-            from svnicp_tpu.io import native
+        with self.timer.span("preprocess"):
+            points = self._apply_extrinsic(points)
+            scan_buf = np.zeros((cap, 4), self.cfg.np_dtype)
+            if timestamps is None:
+                # native one-pass crop+pad (timestamp path must keep point
+                # order aligned with the timestamps, so it stays on the
+                # plain pad path)
+                from svnicp_tpu.io import native
 
-            pts, _, n = native.stage_scan(
-                points, self.cfg.preprocess.min_range,
-                self.cfg.preprocess.max_range, cap,
-            )
-            n = min(int(n), cap)
-            scan_buf[:, :3] = pts
-        else:
-            n = min(len(points), cap)
-            scan_buf[:n, :3] = points[:n]
-            scan_buf[:n, 3] = np.asarray(timestamps[:n])
+                pts, _, n = native.stage_scan(
+                    points, self.cfg.preprocess.min_range,
+                    self.cfg.preprocess.max_range, cap,
+                )
+                n = min(int(n), cap)
+                scan_buf[:, :3] = pts
+            else:
+                n = min(len(points), cap)
+                scan_buf[:n, :3] = points[:n]
+                scan_buf[:n, 3] = np.asarray(timestamps[:n])
 
-        imu_buf, n_imu = self._pack_imu(t)
-        meta = np.array([t, n, n_imu], np.float64)
+        imu_buf, n_imu, n_drop = self._pack_imu(t)
+        meta = np.array([t, n, n_imu, n_drop], np.float64)
         return scan_buf, imu_buf, meta
 
     def _apply_extrinsic(self, points: np.ndarray) -> np.ndarray:
@@ -667,15 +719,29 @@ class LIOPipeline:
             return points
         return np.asarray(points, np.float32) @ r_ext.T + t_ext
 
-    def _pack_imu(self, t: float) -> tuple[np.ndarray, int]:
+    def _pack_imu(self, t: float) -> tuple[np.ndarray, int, int]:
+        """Returns (imu_buf [W,7], n_samples, n_dropped). When a frame window
+        exceeds `imu_window` (long frame gap), the OLDEST samples are dropped
+        and counted — silent propagation loss would otherwise degrade the
+        ESKF invisibly (the count surfaces as FrameOutput.imu_dropped)."""
         w = self.imu_window
-        triples = self._take_imu_window(t)[-w:]
+        window = self._take_imu_window(t)
+        n_drop = max(len(window) - w, 0)
+        if n_drop:
+            import sys
+
+            self.imu_dropped_total += n_drop
+            print(f"[svnicp] WARNING: IMU window overflow at t={t:.3f}: "
+                  f"dropped {n_drop} oldest samples (window={w}); raise "
+                  f"LIOPipeline.imu_window for long frame gaps",
+                  file=sys.stderr)
+        triples = window[-w:]
         imu_buf = np.zeros((w, 7), self.cfg.np_dtype)
         for i, (dt, a, g) in enumerate(triples):
             imu_buf[i, 0] = dt
             imu_buf[i, 1:4] = a
             imu_buf[i, 4:7] = g
-        return imu_buf, len(triples)
+        return imu_buf, len(triples), n_drop
 
     def _stage_scan_pre(self, points: np.ndarray, timestamps=None):
         """Scan half of the host-preprocessed staging: native crop + the
@@ -685,6 +751,10 @@ class LIOPipeline:
         cloud (identical selection), so only the coarse cloud ships over
         the tunnel. Pure (no pipeline state), so it can run on the
         stage-ahead worker thread; the native calls release the GIL."""
+        with self.timer.span("preprocess"):
+            return self._stage_scan_pre_untimed(points, timestamps)
+
+    def _stage_scan_pre_untimed(self, points: np.ndarray, timestamps=None):
         from svnicp_tpu.io import native
 
         pp = self.cfg.preprocess
@@ -714,10 +784,10 @@ class LIOPipeline:
 
     def _pack_frame_pre(self, t: float, points: np.ndarray, timestamps=None):
         """Host-preprocessed staging (preprocess.host_downsample): scan
-        staging + imu window + meta [3] = (stamp, n_map, n_imu)."""
+        staging + imu window + meta [4] = (stamp, n_map, n_imu, n_drop)."""
         ds_buf, n_map = self._stage_scan_pre(points, timestamps)
-        imu_buf, n_imu = self._pack_imu(t)
-        meta = np.array([t, n_map, n_imu], np.float64)
+        imu_buf, n_imu, n_drop = self._pack_imu(t)
+        meta = np.array([t, n_map, n_imu, n_drop], np.float64)
         return ds_buf, imu_buf, meta
 
     def _stage_frame(self, t: float, points: np.ndarray, timestamps) -> FrameInput:
@@ -753,8 +823,9 @@ class LIOPipeline:
         batch_n = self.cfg.dispatch_batch if self.posegraph is None else 1
         if self._frames == 0:
             scan_buf, imu_buf, meta = self._pack_frame(t, points, timestamps)
-            self.state, out = bootstrap_packed(self.cfg, self.state,
-                                               scan_buf, imu_buf, meta)
+            with self.timer.span("dispatch"):
+                self.state, out = bootstrap_packed(self.cfg, self.state,
+                                                   scan_buf, imu_buf, meta)
             self._record_frame(t, out, points)
             return out
 
@@ -779,7 +850,8 @@ class LIOPipeline:
                 return None
             return self._flush_batch()
         step = odometry_step_packed_pre if host_ds else odometry_step_packed
-        self.state, out = step(self.cfg, self.state, *bufs)
+        with self.timer.span("dispatch"):
+            self.state, out = step(self.cfg, self.state, *bufs)
         self._record_frame(t, out, points)
         return out
 
@@ -796,23 +868,36 @@ class LIOPipeline:
         if self._stage_pool is None:
             self._stage_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="svnicp-stage")
-        imu_buf, n_imu = self._pack_imu(t)
-        fut = self._stage_pool.submit(self._stage_scan_pre, points, timestamps)
+        imu_buf, n_imu, n_drop = self._pack_imu(t)
+        fut = self._stage_pool.submit(self._timed_stage_pre, points, timestamps)
         self._frames += 1
         self._last_frame_time = t
-        self._pending.append((t, imu_buf, n_imu, fut))
+        self._pending.append((t, imu_buf, n_imu, n_drop, fut))
         if len(self._pending) > 1:
             return self._dispatch_pending()
         return None
 
+    def _timed_stage_pre(self, points, timestamps=None):
+        """Worker-thread staging with its own wall clock, so the stage-ahead
+        path attributes preprocessing time to the RIGHT frame (the shared
+        StageTimer would mix frames across threads)."""
+        t0 = time.perf_counter()
+        out = self._stage_scan_pre_untimed(points, timestamps)
+        return out, time.perf_counter() - t0
+
     def _dispatch_pending(self) -> FrameOutput:
-        t0, imu_buf, n_imu, fut = self._pending.pop(0)
-        ds_buf, n_map = fut.result()
-        meta = np.array([t0, n_map, n_imu], np.float64)
-        self.state, out = odometry_step_packed_pre(
-            self.cfg, self.state, ds_buf, imu_buf, meta)
+        t0, imu_buf, n_imu, n_drop, fut = self._pending.pop(0)
+        (ds_buf, n_map), pre_dt = fut.result()
+        meta = np.array([t0, n_map, n_imu, n_drop], np.float64)
+        with self.timer.span("dispatch"):
+            self.state, out = odometry_step_packed_pre(
+                self.cfg, self.state, ds_buf, imu_buf, meta)
         self.outputs.append(out)
         self.times.append(t0)
+        self.frame_timings.append({
+            "preprocessing_time": pre_dt,
+            "steinicp_time": self.timer.last.get("dispatch", 0.0),
+        })
         return out
 
     def _record_frame(self, t: float, out: FrameOutput, points) -> None:
@@ -820,6 +905,10 @@ class LIOPipeline:
         self._last_frame_time = t
         self.outputs.append(out)
         self.times.append(t)
+        self.frame_timings.append({
+            "preprocessing_time": self.timer.last.get("preprocess", 0.0),
+            "steinicp_time": self.timer.last.get("dispatch", 0.0),
+        })
         if self.posegraph is not None:
             self._update_posegraph(t, out, points)
 
@@ -836,17 +925,27 @@ class LIOPipeline:
         if len(items) == 1:
             # avoid a distinct scan-length compilation for a lone remainder
             b0, b1, b2, t = items[0]
-            self.state, out = step(self.cfg, self.state, b0, b1, b2)
+            with self.timer.span("dispatch"):
+                self.state, out = step(self.cfg, self.state, b0, b1, b2)
             self.outputs.append(out)
             self.times.append(t)
+            self.frame_timings.append({
+                "preprocessing_time": 0.0,
+                "steinicp_time": self.timer.last.get("dispatch", 0.0),
+            })
             return out
         stacked = [np.stack([it[i] for it in items]) for i in range(3)]
-        self.state, outs = steps(self.cfg, self.state, *stacked)
+        with self.timer.span("dispatch"):
+            self.state, outs = steps(self.cfg, self.state, *stacked)
+        # batched dispatch has no per-frame split: amortize the batch wall
+        per_frame = self.timer.last.get("dispatch", 0.0) / len(items)
         last = None
         for i, it in enumerate(items):
             last = jax.tree.map(lambda a, i=i: a[i], outs)
             self.outputs.append(last)
             self.times.append(it[3])
+            self.frame_timings.append(
+                {"preprocessing_time": 0.0, "steinicp_time": per_frame})
         return last
 
     def flush(self) -> FrameOutput | None:
@@ -862,9 +961,14 @@ class LIOPipeline:
             # drain one-by-one: a partial batch has a different scan length,
             # and per-frame dispatch avoids compiling a program per length
             b0, b1, b2, t = self._batch.pop(0)
-            self.state, out = step(self.cfg, self.state, b0, b1, b2)
+            with self.timer.span("dispatch"):
+                self.state, out = step(self.cfg, self.state, b0, b1, b2)
             self.outputs.append(out)
             self.times.append(t)
+            self.frame_timings.append({
+                "preprocessing_time": 0.0,
+                "steinicp_time": self.timer.last.get("dispatch", 0.0),
+            })
             last = out
         return last
 
