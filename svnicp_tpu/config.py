@@ -109,6 +109,21 @@ class MapConfig:
     insert_every: int = 1            # insert scans into the map every Nth
                                      # frame (1 = reference behavior; >1
                                      # trades map freshness for throughput)
+    # BASELINE config-5 operating mode: partition the map into key-range
+    # blocks over the mesh point axis (parallel/voxmap_sharded). The live
+    # odometry step then inserts into / queries the DISTRIBUTED map (ring
+    # candidate gather) instead of replicating it; requires a mesh whose
+    # point axis matches cfg.sharding.point_axis, and capacity divisible by
+    # that axis. The replicated-map mesh mode (sharded=False) remains the
+    # default — the map is tiny next to the point math on small meshes.
+    sharded: bool = False
+    # frames between occupancy rebalances (0 = never; LIOPipeline cadence).
+    # One rebalance ALWAYS runs right after bootstrap when sharded: packed
+    # voxel keys of a real scene concentrate in a tiny slice of the key
+    # space, so the uniform initial split would put the whole scene in one
+    # block and shed its capacity.
+    rebalance_every: int = 10
+    rebalance_sample: int = 512      # resident-key sample per shard
 
 
 @dataclasses.dataclass(frozen=True)

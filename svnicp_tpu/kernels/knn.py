@@ -98,12 +98,17 @@ def knn_candidates_bucketed(
     """Approximate K-nearest candidates via per-group minima — the TPU-fast
     stage-1 search (drop-in for `knn_candidates`).
 
-    The target is split into k groups; each source point takes the nearest
-    target of every group. With hash-ordered targets (our map compaction
-    order) the groups are spatially random, so the result approximates the
-    true top-k while the *global* 1-NN is exactly included (it is its own
-    group's minimum). Cost: one [Ns,3]x[3,Nt] matmul + row-group min — no
-    sort, no top_k, no [Ns,Nt] materialization pressure beyond one pass.
+    The target is split into k STRIDED groups (row i belongs to group i % k);
+    each source point takes the nearest target of every group. Striding keeps
+    every group populated even when the valid rows sit compacted at the front
+    of a mostly-empty padded table (map blocks, sparse radius extracts) —
+    contiguous k-way chunks would put all residents in group 0 and collapse
+    the candidate set to 1 per table. With hash-ordered targets (our map
+    compaction order) the groups are spatially random, so the result
+    approximates the true top-k while the *global* 1-NN is exactly included
+    (it is its own group's minimum). Cost: one [Ns,3]x[3,Nt] matmul +
+    row-group min — no sort, no top_k, no [Ns,Nt] materialization pressure
+    beyond one pass.
 
     The candidate set's only job is to cover the per-iteration 1-NN of points
     under the ICP perturbations (ref two-stage scheme, SVGDICP.cpp:176-215);
@@ -124,13 +129,14 @@ def knn_candidates_bucketed(
     cross = jnp.matmul(source, target.T, precision=jax.lax.Precision.HIGHEST)
     score = t2[None, :] - 2.0 * cross
     score = jnp.where(target_valid[None, :], score, _INF)
-    score = score.reshape(ns, k, group)
-    within = jnp.argmin(score, axis=-1).astype(jnp.int32)           # [Ns,k]
-    base = (jnp.arange(k, dtype=jnp.int32) * group)[None, :]
-    idx = base + within
+    # strided grouping: target row i = g*k + c lands in slot c, so slot c's
+    # minimum ranges over rows {c, k+c, 2k+c, ...}
+    score = score.reshape(ns, group, k)
+    within = jnp.argmin(score, axis=1).astype(jnp.int32)             # [Ns,k]
+    idx = within * k + jnp.arange(k, dtype=jnp.int32)[None, :]
     # exact squared distances for the selected candidates
     s2 = jnp.sum(source * source, axis=-1, keepdims=True)
-    best_score = jnp.take_along_axis(score, within[..., None], axis=-1)[..., 0]
+    best_score = jnp.take_along_axis(score, within[:, None, :], axis=1)[:, 0, :]
     d2 = jnp.maximum(best_score + s2, 0.0)
     d2 = jnp.where(jnp.isfinite(best_score), d2, _INF)
     d2 = jnp.where(source_valid[:, None], d2, _INF)

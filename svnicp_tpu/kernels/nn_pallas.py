@@ -571,8 +571,10 @@ def bucketed_candidates(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused stage-1 candidate search (Pallas path of
-    `knn.knn_candidates_bucketed`): the target is split into k contiguous
-    groups and each source point takes the nearest target of every group.
+    `knn.knn_candidates_bucketed`): the target is split into k STRIDED
+    groups (row i -> group i % k, matching the jnp oracle — striding keeps
+    every group populated for valid-prefix-compacted tables) and each source
+    point takes the nearest target of every group.
 
     Returns (cand_pts [B,k,3], cand_d2 [B,k] with +inf at invalid slots) —
     candidate POINTS directly, replacing the index+gather contract of the
@@ -592,7 +594,8 @@ def bucketed_candidates(
     bias = jnp.where(target_valid,
                      jnp.sum(target * target, axis=-1), jnp.inf)
     tgt4 = jnp.concatenate([target, bias[:, None]], axis=1)     # [Nt_p,4]
-    tgt4 = tgt4.reshape(k, group, 4)
+    # strided groups: row g*k + c -> group c (transpose of the [group,k] view)
+    tgt4 = jnp.transpose(tgt4.reshape(group, k, 4), (1, 0, 2))
     if gp != group:
         fill = jnp.zeros((k, gp - group, 4), tgt4.dtype).at[:, :, 3].set(jnp.inf)
         tgt4 = jnp.concatenate([tgt4, fill], axis=1)

@@ -208,6 +208,14 @@ def rebalance(
 def _ring_candidates(source_l, src_valid_l, blk_pts, blk_valid, k_per: int):
     """Gather bucketed candidates from every map block via a point-axis ring.
 
+    The bucketed group-min search uses STRIDED groups (row i -> slot i % k,
+    see knn.knn_candidates_bucketed), which matters doubly here: map blocks
+    store their residents compacted at the front of a mostly-empty padded
+    table (contiguous groups would all collapse into slot 0 and starve the
+    candidate set), and the key-sorted row order means consecutive rows of
+    one voxel spread across slots, so each slot covers the block's whole
+    spatial extent.
+
     Returns (cand_pts [Bl, S*k_per, 3], cand_valid [Bl, S*k_per]).
     """
     from svnicp_tpu.kernels import knn

@@ -52,6 +52,9 @@ class OdometryState(NamedTuple):
     rings: smoother.VarianceRings
     rng: jax.Array             # PRNG key for per-frame particle priors
     frame_idx: jax.Array       # int32
+    split_keys: jax.Array      # [S-1] int32 map-block key boundaries when
+                               # cfg.map.sharded over S point shards
+                               # (parallel/voxmap_sharded); [0] otherwise
 
 
 class FrameInput(NamedTuple):
@@ -104,8 +107,23 @@ def _hist_len(cfg: PipelineConfig) -> int:
     return cfg.icp.iterations if cfg.save_particles else 0
 
 
+def _map_shards(cfg: PipelineConfig) -> int:
+    return cfg.sharding.point_axis if cfg.map.sharded else 1
+
+
 def init_state(cfg: PipelineConfig) -> OdometryState:
     dtype = jnp.dtype(cfg.dtype)
+    s = _map_shards(cfg)
+    if s > 1:
+        from svnicp_tpu.parallel import voxmap_sharded as vms
+
+        if cfg.map.capacity % s:
+            raise ValueError(
+                f"map.capacity ({cfg.map.capacity}) must divide evenly over "
+                f"{s} point shards for map.sharded")
+        split_keys = vms.uniform_split_keys(s)
+    else:
+        split_keys = jnp.zeros((0,), jnp.int32)
     return OdometryState(
         vmap=voxmap.create(cfg.map.capacity, dtype),
         eskf=eskf_mod.create(cfg.lio, cfg.imu, dtype),
@@ -118,6 +136,7 @@ def init_state(cfg: PipelineConfig) -> OdometryState:
         rings=smoother.create(dtype=dtype),
         rng=jax.random.PRNGKey(cfg.seed),
         frame_idx=jnp.zeros((), jnp.int32),
+        split_keys=split_keys,
     )
 
 
@@ -202,15 +221,32 @@ def _predict_pose(cfg: PipelineConfig, state: OdometryState, time: jax.Array):
     return geo.transform_compose(state.pose_r, state.pose_t, ri, ti)
 
 
-def _bootstrap_impl(cfg: PipelineConfig, state: OdometryState, frame: FrameInput):
+def _map_insert(cfg: PipelineConfig, state: OdometryState, cloud,
+                pose_r, pose_t, mesh):
+    """Map insert dispatcher: the ordinary device-local insert, or the
+    key-range block insert when the map runs sharded over the mesh point
+    axis (parallel/voxmap_sharded; BASELINE config 5)."""
+    if mesh is not None and cfg.map.sharded:
+        from svnicp_tpu.parallel import voxmap_sharded as vms
+
+        return vms.sharded_insert(
+            mesh, state.vmap, cloud, pose_r, pose_t,
+            cfg.map.voxel_size, cfg.map.max_points_per_voxel,
+            cfg.map.max_range, split_keys=state.split_keys,
+        )
+    return voxmap.insert(
+        state.vmap, cloud, pose_r, pose_t,
+        cfg.map.voxel_size, cfg.map.max_points_per_voxel, cfg.map.max_range,
+    )
+
+
+def _bootstrap_impl(cfg: PipelineConfig, state: OdometryState, frame: FrameInput,
+                    mesh=None):
     """First frame: seed the map at the initial guess, no alignment
     (ref: OdometryPipeline.cpp:583-591)."""
     cropped, _, _ = _preprocess(cfg, state, frame)
     guess_r, guess_t = _predict_pose(cfg, state, frame.time)
-    new_map, dropped = voxmap.insert(
-        state.vmap, cropped, guess_r, guess_t,
-        cfg.map.voxel_size, cfg.map.max_points_per_voxel, cfg.map.max_range,
-    )
+    new_map, dropped = _map_insert(cfg, state, cropped, guess_r, guess_t, mesh)
     state = state._replace(
         vmap=new_map,
         prev_r=state.pose_r, prev_t=state.pose_t,
@@ -295,7 +331,26 @@ def _odometry_step_impl(
             init_particles = jnp.where(state.rings.count >= 2, gauss, init_particles)
 
     # --- correspondence + alignment
-    if (cfg.icp.candidate_method == "voxel" and cfg.icp.method == "svn"
+    if mesh is not None and cfg.map.sharded:
+        # BASELINE config-5 operating mode: the voxel map lives as key-range
+        # blocks across the mesh point axis; candidates come from a ring
+        # ppermute gather over the blocks and the align loop runs mesh-
+        # parallel — the map is never replicated or radius-queried
+        from svnicp_tpu.parallel import sharding as shp
+        from svnicp_tpu.parallel import voxmap_sharded as vms
+
+        if mesh.shape[shp.POINT_AXIS] != cfg.sharding.point_axis:
+            raise ValueError(
+                f"map.sharded needs mesh point axis == "
+                f"cfg.sharding.point_axis ({cfg.sharding.point_axis}), got "
+                f"{mesh.shape[shp.POINT_AXIS]}")
+        overflow = jnp.zeros((), jnp.int32)
+        result = vms.sharded_register_with_map(
+            mesh, cfg.icp, source.points, source.valid, state.vmap,
+            guess_r, guess_t, init_particles,
+        )
+        target = None
+    elif (cfg.icp.candidate_method == "voxel" and cfg.icp.method == "svn"
             and mesh is None):
         # voxel-hash bucket candidates straight from the sorted-key map:
         # no radius query, no brute-force candidate pass
@@ -414,19 +469,13 @@ def _odometry_step_impl(
     # skipped entirely when alignment failed (pose would be the raw guess)
     if cfg.map.insert_every > 1:
         do_insert = align_ok & (state.frame_idx % cfg.map.insert_every == 0)
-        inserted, dropped_i = voxmap.insert(
-            state.vmap, to_map, pose_r, pose_t,
-            cfg.map.voxel_size, cfg.map.max_points_per_voxel, cfg.map.max_range,
-        )
+        inserted, dropped_i = _map_insert(cfg, state, to_map, pose_r, pose_t, mesh)
         new_map = jax.tree.map(
             lambda a, b: jnp.where(do_insert, a, b), inserted, state.vmap
         )
         dropped = jnp.where(do_insert, dropped_i, 0)
     else:
-        inserted, dropped_i = voxmap.insert(
-            state.vmap, to_map, pose_r, pose_t,
-            cfg.map.voxel_size, cfg.map.max_points_per_voxel, cfg.map.max_range,
-        )
+        inserted, dropped_i = _map_insert(cfg, state, to_map, pose_r, pose_t, mesh)
         new_map = jax.tree.map(
             lambda a, b: jnp.where(align_ok, a, b), inserted, state.vmap
         )
@@ -441,6 +490,7 @@ def _odometry_step_impl(
         rings=rings,
         rng=rng,
         frame_idx=state.frame_idx + 1,
+        split_keys=state.split_keys,
     )
     out = FrameOutput(
         pose_r=pose_r, pose_t=pose_t, guess_r=guess_r, guess_t=guess_t,
@@ -461,7 +511,9 @@ def _odometry_step_impl(
 
 
 # public jitted entry points (FrameInput pytree arguments)
-bootstrap_frame = functools.partial(jax.jit, static_argnames=("cfg",))(_bootstrap_impl)
+bootstrap_frame = functools.partial(jax.jit, static_argnames=("cfg", "mesh"))(
+    _bootstrap_impl
+)
 odometry_step = functools.partial(jax.jit, static_argnames=("cfg", "mesh"))(
     _odometry_step_impl
 )
@@ -489,27 +541,32 @@ def _unpack_frame(cfg: PipelineConfig, scan_buf: jax.Array, imu_buf: jax.Array,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def bootstrap_packed(cfg: PipelineConfig, state: OdometryState,
-                     scan_buf: jax.Array, imu_buf: jax.Array, meta: jax.Array):
-    return _bootstrap_impl(cfg, state, _unpack_frame(cfg, scan_buf, imu_buf, meta))
+                     scan_buf: jax.Array, imu_buf: jax.Array, meta: jax.Array,
+                     mesh=None):
+    return _bootstrap_impl(cfg, state,
+                           _unpack_frame(cfg, scan_buf, imu_buf, meta), mesh=mesh)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def odometry_step_packed(cfg: PipelineConfig, state: OdometryState,
-                         scan_buf: jax.Array, imu_buf: jax.Array, meta: jax.Array):
+                         scan_buf: jax.Array, imu_buf: jax.Array, meta: jax.Array,
+                         mesh=None):
     """`odometry_step` over packed buffers: the host driver ships THREE
     arrays per frame instead of the 8-leaf FrameInput pytree. Each jit
     argument is a separate host->device transfer, and on a remote-tunnel
     device every transfer pays dispatch latency — packing recovers most of
     the ~9 ms/frame the 8 transfers cost at bench shapes."""
-    return _odometry_step_impl(cfg, state, _unpack_frame(cfg, scan_buf, imu_buf, meta))
+    return _odometry_step_impl(cfg, state,
+                               _unpack_frame(cfg, scan_buf, imu_buf, meta),
+                               mesh=mesh)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
                              ds_buf: jax.Array, imu_buf: jax.Array,
-                             meta: jax.Array):
+                             meta: jax.Array, mesh=None):
     """`odometry_step` over a HOST-preprocessed cloud: ds_buf [2*src_cap,3]
     = the stage-A (0.5*voxel) to_map rows (zero-padded), meta [3] f64 =
     (stamp, n_map, n_imu). The stage-B source cloud is DERIVED on device
@@ -561,13 +618,13 @@ def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
         imu_valid=jnp.arange(w, dtype=jnp.int32) < n_imu,
         imu_dropped=meta[3].astype(jnp.int32),
     )
-    return _odometry_step_impl(cfg, state, frame, pre=(to_map, source))
+    return _odometry_step_impl(cfg, state, frame, mesh=mesh, pre=(to_map, source))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def odometry_steps_packed(cfg: PipelineConfig, state: OdometryState,
                           scan_bufs: jax.Array, imu_bufs: jax.Array,
-                          metas: jax.Array):
+                          metas: jax.Array, mesh=None):
     """`odometry_step_packed` over a [F,...] batch of staged frames as one
     jitted lax.scan — ONE program launch for F frames (see
     PipelineConfig.dispatch_batch; measured slower than per-frame dispatch
@@ -576,21 +633,22 @@ def odometry_steps_packed(cfg: PipelineConfig, state: OdometryState,
 
     def body(st, inp):
         sb, ib, mb = inp
-        return _odometry_step_impl(cfg, st, _unpack_frame(cfg, sb, ib, mb))
+        return _odometry_step_impl(cfg, st, _unpack_frame(cfg, sb, ib, mb),
+                                   mesh=mesh)
 
     return jax.lax.scan(body, state, (scan_bufs, imu_bufs, metas))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def odometry_steps_packed_pre(cfg: PipelineConfig, state: OdometryState,
                               ds_bufs: jax.Array, imu_bufs: jax.Array,
-                              metas: jax.Array):
+                              metas: jax.Array, mesh=None):
     """Batched form of `odometry_step_packed_pre` (host-preprocessed
     frames), so dispatch_batch and preprocess.host_downsample compose."""
 
     def body(st, inp):
         db, ib, mb = inp
-        return odometry_step_packed_pre(cfg, st, db, ib, mb)
+        return odometry_step_packed_pre(cfg, st, db, ib, mb, mesh=mesh)
 
     return jax.lax.scan(body, state, (ds_bufs, imu_bufs, metas))
 
@@ -612,6 +670,26 @@ class LIOPipeline:
     imu_window: int = 256
 
     def __post_init__(self):
+        sh = self.cfg.sharding
+        self.mesh = None
+        if sh.particle_axis * sh.point_axis > 1:
+            from svnicp_tpu.parallel import sharding as shp
+
+            if self.cfg.icp.particle_count % sh.particle_axis:
+                raise ValueError(
+                    f"particle_count ({self.cfg.icp.particle_count}) must "
+                    f"divide over {sh.particle_axis} particle shards")
+            if self.cfg.icp.source_capacity % sh.point_axis:
+                raise ValueError(
+                    f"source_capacity ({self.cfg.icp.source_capacity}) must "
+                    f"divide over {sh.point_axis} point shards")
+            self.mesh = shp.make_mesh(sh.particle_axis, sh.point_axis)
+        elif self.cfg.map.sharded:
+            raise ValueError(
+                "map.sharded needs a device mesh: set sharding.point_axis "
+                "(and optionally particle_axis) > 1")
+        self.rebalance_drops = 0
+        self.rebalances = 0
         self.state = init_state(self.cfg)
         self._imu_times: list[float] = []
         self._imu_samples: list[tuple[float, np.ndarray, np.ndarray]] = []
@@ -825,8 +903,10 @@ class LIOPipeline:
             scan_buf, imu_buf, meta = self._pack_frame(t, points, timestamps)
             with self.timer.span("dispatch"):
                 self.state, out = bootstrap_packed(self.cfg, self.state,
-                                                   scan_buf, imu_buf, meta)
+                                                   scan_buf, imu_buf, meta,
+                                                   mesh=self.mesh)
             self._record_frame(t, out, points)
+            self._maybe_rebalance(force=True)
             return out
 
         if (host_ds and batch_n == 1 and self.cfg.stage_ahead
@@ -851,7 +931,7 @@ class LIOPipeline:
             return self._flush_batch()
         step = odometry_step_packed_pre if host_ds else odometry_step_packed
         with self.timer.span("dispatch"):
-            self.state, out = step(self.cfg, self.state, *bufs)
+            self.state, out = step(self.cfg, self.state, *bufs, mesh=self.mesh)
         self._record_frame(t, out, points)
         return out
 
@@ -891,13 +971,14 @@ class LIOPipeline:
         meta = np.array([t0, n_map, n_imu, n_drop], np.float64)
         with self.timer.span("dispatch"):
             self.state, out = odometry_step_packed_pre(
-                self.cfg, self.state, ds_buf, imu_buf, meta)
+                self.cfg, self.state, ds_buf, imu_buf, meta, mesh=self.mesh)
         self.outputs.append(out)
         self.times.append(t0)
         self.frame_timings.append({
             "preprocessing_time": pre_dt,
             "steinicp_time": self.timer.last.get("dispatch", 0.0),
         })
+        self._maybe_rebalance()
         return out
 
     def _record_frame(self, t: float, out: FrameOutput, points) -> None:
@@ -909,8 +990,29 @@ class LIOPipeline:
             "preprocessing_time": self.timer.last.get("preprocess", 0.0),
             "steinicp_time": self.timer.last.get("dispatch", 0.0),
         })
+        self._maybe_rebalance()
         if self.posegraph is not None:
             self._update_posegraph(t, out, points)
+
+    def _maybe_rebalance(self, force: bool = False) -> None:
+        """Sharded-map occupancy rebalance every map.rebalance_every frames
+        (host cadence; the pass is an identity below the imbalance
+        threshold — see voxmap_sharded.rebalance). `force` bypasses the
+        cadence: the post-bootstrap rebalance must always run because the
+        uniform initial key split concentrates the scene in one block."""
+        if self.mesh is None or not self.cfg.map.sharded:
+            return
+        k = self.cfg.map.rebalance_every
+        if not force and (k <= 0 or len(self.outputs) % k):
+            return
+        from svnicp_tpu.parallel import voxmap_sharded as vms
+
+        new_map, new_splits, dropped = vms.rebalance(
+            self.mesh, self.state.vmap, self.state.split_keys,
+            sample_per_shard=self.cfg.map.rebalance_sample)
+        self.state = self.state._replace(vmap=new_map, split_keys=new_splits)
+        self.rebalance_drops += int(dropped)
+        self.rebalances += 1
 
     def _flush_batch(self) -> FrameOutput | None:
         """Dispatch the buffered frames as one scan program and unstack."""
@@ -926,7 +1028,8 @@ class LIOPipeline:
             # avoid a distinct scan-length compilation for a lone remainder
             b0, b1, b2, t = items[0]
             with self.timer.span("dispatch"):
-                self.state, out = step(self.cfg, self.state, b0, b1, b2)
+                self.state, out = step(self.cfg, self.state, b0, b1, b2,
+                                       mesh=self.mesh)
             self.outputs.append(out)
             self.times.append(t)
             self.frame_timings.append({
@@ -936,7 +1039,8 @@ class LIOPipeline:
             return out
         stacked = [np.stack([it[i] for it in items]) for i in range(3)]
         with self.timer.span("dispatch"):
-            self.state, outs = steps(self.cfg, self.state, *stacked)
+            self.state, outs = steps(self.cfg, self.state, *stacked,
+                                     mesh=self.mesh)
         # batched dispatch has no per-frame split: amortize the batch wall
         per_frame = self.timer.last.get("dispatch", 0.0) / len(items)
         last = None
@@ -962,7 +1066,8 @@ class LIOPipeline:
             # and per-frame dispatch avoids compiling a program per length
             b0, b1, b2, t = self._batch.pop(0)
             with self.timer.span("dispatch"):
-                self.state, out = step(self.cfg, self.state, b0, b1, b2)
+                self.state, out = step(self.cfg, self.state, b0, b1, b2,
+                                       mesh=self.mesh)
             self.outputs.append(out)
             self.times.append(t)
             self.frame_timings.append({

@@ -25,7 +25,12 @@ def make_problem(rng, n=768):
     return jnp.asarray(cloud), target, (r, t)
 
 
-CFG = SteinICPConfig(particle_count=8, iterations=40, lr=1.0, max_dist=2.8,
+# 12 iterations: mid-convergence, where numeric parity is meaningful. At the
+# Stein equilibrium (>=~20 iters with early_stop off) particles keep jiggling
+# and the f32 reduction-order difference between psum and the single-device
+# sum amplifies chaotically (see test_equilibrium_accuracy below, and the
+# same structure in test_nn_pallas.test_align_plane_with_pallas_matches_xla).
+CFG = SteinICPConfig(particle_count=8, iterations=12, lr=1.0, max_dist=2.8,
                      knn_count=16, early_stop=False)
 
 
@@ -46,6 +51,28 @@ def test_sharded_matches_single_device(rng, axes, devices):
     np.testing.assert_allclose(np.asarray(out.var), np.asarray(ref.var),
                                rtol=0.05, atol=1e-6)
     assert int(out.iterations) == int(ref.iterations)
+
+
+def test_equilibrium_accuracy(rng, devices):
+    """Long (equilibrium) sharded run: bit parity is no longer meaningful,
+    but both paths must recover the true transform to millimetres."""
+    if len(devices) < 8:
+        pytest.skip("needs 8 devices")
+    import dataclasses
+
+    source, target, (r_true, t_true) = make_problem(rng)
+    cfg = dataclasses.replace(CFG, iterations=40)
+    n = source.shape[0]
+    init = svn.init_particles_uniform(jax.random.PRNGKey(0), cfg.particle_count,
+                                      cfg.init_lb, cfg.init_ub)
+    args = (source, jnp.ones(n, bool), target, jnp.ones(n, bool),
+            jnp.eye(3), jnp.zeros(3), init)
+    ref = svn.register(cfg, *args)
+    out = sharding.sharded_register(sharding.make_mesh(2, 4), cfg, *args)
+    for res in (ref, out):
+        assert np.linalg.norm(np.asarray(res.mean[:3]) - np.asarray(t_true)) < 0.02
+    np.testing.assert_allclose(np.asarray(out.mean), np.asarray(ref.mean),
+                               atol=2e-3)
 
 
 def test_sharded_svn_full_grad(rng, devices):
