@@ -30,7 +30,7 @@ CPU_BASELINE_FPS = 0.1804
 def build(n_frames: int, particles: int, use_pallas: bool = False,
           candidate_method: str = "bucketed", iterations: int = 100,
           early_stop: bool = True, residual: str = "point_to_point",
-          batch: int = 1, host_ds: bool = True):
+          batch: int = 1, host_ds: bool = True, segmentation: bool = False):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
@@ -57,10 +57,15 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
         ),
         map=cfg_mod.MapConfig(voxel_size=1.0, max_points_per_voxel=20,
                               max_range=300.0, capacity=131072),
-        preprocess=cfg_mod.PreprocessConfig(min_range=2.0, max_range=80.0,
-                                            voxel_size=1.0, raw_capacity=32768,
-                                            host_downsample=host_ds,
-                                            quantize_upload=host_ds),
+        preprocess=cfg_mod.PreprocessConfig(
+            min_range=2.0, max_range=80.0, voxel_size=1.0,
+            # segmentation mode: the REAL HDL-64 range-image shape (64x2250,
+            # ref ImageProjection.h:63-68) on raycast scans; needs the raw
+            # scan on device, so the host-downsample fast path is off
+            use_segmentation=segmentation, sensor_model="hdl64",
+            raw_capacity=147456 if segmentation else 32768,
+            host_downsample=host_ds and not segmentation,
+            quantize_upload=host_ds and not segmentation),
         lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
         dispatch_batch=batch,
         # overlap native staging with device dispatch (one-frame latency);
@@ -70,8 +75,13 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
     world = datasets.SyntheticWorld(extent=80.0, n_walls=24, n_boxes=16, seed=7)
     times, rots, trans = datasets.synthetic_trajectory(n_frames, dt=0.1, speed=2.0, seed=7)
     rng = np.random.default_rng(7)
-    scans = [world.scan_at(rng, rots[i], trans[i], n_points=32000, max_range=75.0)
-             for i in range(n_frames)]
+    if segmentation:
+        scans = [datasets.raycast_scan(world._surfaces, rots[i], trans[i],
+                                       max_range=75.0, rng=rng)
+                 for i in range(n_frames)]
+    else:
+        scans = [world.scan_at(rng, rots[i], trans[i], n_points=32000, max_range=75.0)
+                 for i in range(n_frames)]
     pipe = pl.LIOPipeline(cfg)
     return pipe, times, scans
 
@@ -79,11 +89,12 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
 def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = False,
         candidate_method: str = "bucketed", iterations: int = 100,
         early_stop: bool = True, residual: str = "point_to_point",
-        batch: int = 1):
+        batch: int = 1, segmentation: bool = False):
     import jax
 
     pipe, times, scans = build(n_frames, particles, use_pallas, candidate_method,
-                               iterations, early_stop, residual, batch)
+                               iterations, early_stop, residual, batch,
+                               segmentation=segmentation)
     import numpy as _np
 
     # warmup (compile + first-frame bootstrap; flush drains batched mode)
@@ -122,6 +133,10 @@ def main():
                          "launch gap — XLA overlaps consecutive dispatches "
                          "better than scan iterations — kept for non-tunnel "
                          "backends")
+    ap.add_argument("--segmentation", action="store_true",
+                    help="run the HDL-64 segmentation operating point: "
+                         "64x2250 raycast scans through range-image "
+                         "segmentation on device (BASELINE.md row)")
     ap.add_argument("--residual", default="point_to_plane",
                     choices=["point_to_point", "point_to_plane"],
                     help="ICP residual model; point_to_plane is the default "
@@ -145,13 +160,18 @@ def main():
     # dispatch (and first-compile) the per-frame program inside the timed
     # window
     timed = 40 if args.batch <= 1 else ((40 + args.batch - 1) // args.batch) * args.batch
+    if args.segmentation:
+        timed = min(timed, 20)    # raycast generation is the setup cost
     fps = run(n_frames=args.frames or (warmup + timed), warmup=warmup,
               use_pallas=not args.no_pallas,
               candidate_method=args.method, iterations=args.iters,
               particles=args.particles, early_stop=not args.no_early_stop,
-              residual=args.residual, batch=args.batch)
+              residual=args.residual, batch=args.batch,
+              segmentation=args.segmentation)
     print(json.dumps({
-        "metric": "lidar_frames_per_sec_per_chip_64_particles",
+        "metric": ("lidar_frames_per_sec_per_chip_64_particles_segmentation"
+                   if args.segmentation else
+                   "lidar_frames_per_sec_per_chip_64_particles"),
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),

@@ -117,6 +117,112 @@ class SyntheticWorld:
         return local.astype(np.float32), tau, (mid_r, mid_t)
 
 
+def raycast_scan(surfaces, pose_r: np.ndarray, pose_t: np.ndarray,
+                 n_scan: int = 64, horizon: int = 2250,
+                 ang_res_y: float = 26.8 / 63.0, ang_bottom: float = 24.8,
+                 max_range: float = 80.0, noise: float = 0.02,
+                 col_step: int = 1, rng=None) -> np.ndarray:
+    """Raycast a rotating-LiDAR scan with the REAL HDL-64 ray pattern
+    (64 rings x 2250 azimuth steps by default — the geometry the reference's
+    segmentation hard-codes, ref: ImageProjection.h:63-68), so the range-
+    image pipeline runs at its true shape instead of on subsampled clouds.
+
+    `surfaces` is a list of finite rectangles (origin, u, v, u_len, v_len)
+    (the SyntheticWorld representation). Rays that hit nothing within
+    `max_range` produce no return, like a real sensor. `col_step` decimates
+    azimuth columns for cheaper tests. Returns sensor-frame points [N,3] f32.
+    """
+    rows = np.arange(n_scan)
+    cols = np.arange(0, horizon, col_step)
+    vert = np.radians(-ang_bottom + rows * ang_res_y)            # [R]
+    horiz = np.radians(90.0 - cols * (360.0 / horizon))          # [C]
+    cv, sv = np.cos(vert)[:, None], np.sin(vert)[:, None]
+    ch, sh = np.cos(horiz)[None, :], np.sin(horiz)[None, :]
+    # sensor-frame direction consistent with the projection convention
+    # (vert = atan2(z, hypot(x,y)), horiz = atan2(x, y))
+    dirs = np.stack([cv * sh, cv * ch, np.broadcast_to(sv, (n_scan, len(cols)))],
+                    axis=-1).reshape(-1, 3)                      # [R*C,3]
+    dirs_w = dirs @ pose_r.T
+
+    best_t = np.full(len(dirs), np.inf)
+    for (o, u, v, ul, vl) in surfaces:
+        n = np.cross(u, v)
+        denom = dirs_w @ n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((o - pose_t) @ n) / denom
+        p = pose_t[None] + t[:, None] * dirs_w
+        a = (p - o[None]) @ u
+        b = (p - o[None]) @ v
+        hit = (np.abs(denom) > 1e-9) & (t > 0.3) & (t < max_range) \
+            & (a >= 0) & (a <= ul) & (b >= 0) & (b <= vl)
+        best_t = np.where(hit & (t < best_t), t, best_t)
+    ok = np.isfinite(best_t)
+    pts = best_t[ok, None] * dirs[ok]
+    if noise > 0:
+        rng = rng or np.random.default_rng(0)
+        pts = pts + rng.normal(scale=noise, size=pts.shape)
+    return pts.astype(np.float32)
+
+
+@dataclasses.dataclass
+class DegenerateWorld:
+    """Geometrically under-constrained environments for covariance tests:
+    'corridor' (two smooth walls + floor along x: x-translation unobservable),
+    'tunnel' (octagonal prism along x: x-translation unobservable, circular
+    symmetry broken so roll stays observable), 'plane' (bare ground: x, y and
+    yaw unobservable). The SVN particle spread must blow up exactly in the
+    unobservable directions (the paper's core claim; no reference analogue —
+    the reference was validated on real datasets only)."""
+
+    kind: str = "corridor"
+    length: float = 120.0
+    half_width: float = 3.0
+    height: float = 4.0
+
+    def __post_init__(self):
+        L, w, h = self.length, self.half_width, self.height
+        o = -L / 2
+        ex = np.array([1.0, 0, 0])
+        ez = np.array([0, 0, 1.0])
+        self.surfaces = []
+        if self.kind in ("corridor", "plane"):
+            self.surfaces.append((np.array([o, -4 * w, 0.0]), ex,
+                                  np.array([0, 1.0, 0]), L, 8 * w))  # floor
+        if self.kind == "corridor":
+            self.surfaces.append((np.array([o, -w, 0.0]), ex, ez, L, h))
+            self.surfaces.append((np.array([o, w, 0.0]), ex, ez, L, h))
+        elif self.kind == "tunnel":
+            r = self.half_width
+            n_facets = 8
+            ang = np.linspace(0, 2 * np.pi, n_facets, endpoint=False)
+            for a0, a1 in zip(ang, np.roll(ang, -1)):
+                p0 = np.array([o, r * np.cos(a0), r * np.sin(a0) + r])
+                p1 = np.array([o, r * np.cos(a1), r * np.sin(a1) + r])
+                v = p1 - p0
+                self.surfaces.append((p0, ex, v / np.linalg.norm(v), L,
+                                      np.linalg.norm(v)))
+        elif self.kind != "plane":
+            raise ValueError(f"unknown kind {self.kind!r}")
+
+    def scan_at(self, rng, pose_r, pose_t, n_points: int = 4000,
+                max_range: float = 45.0, noise: float = 0.01) -> np.ndarray:
+        areas = np.array([ul * vl for (_, _, _, ul, vl) in self.surfaces])
+        counts = rng.multinomial(n_points * 3, areas / areas.sum())
+        pts = []
+        for (o, u, v, ul, vl), c in zip(self.surfaces, counts):
+            a = rng.uniform(0, ul, c)[:, None]
+            b = rng.uniform(0, vl, c)[:, None]
+            pts.append(o[None] + a * u[None] + b * v[None])
+        world_pts = np.concatenate(pts, axis=0)
+        d = np.linalg.norm(world_pts - pose_t[None], axis=1)
+        world_pts = world_pts[(d < max_range) & (d > 1.0)]
+        if len(world_pts) > n_points:
+            world_pts = world_pts[rng.choice(len(world_pts), n_points,
+                                             replace=False)]
+        local = (world_pts - pose_t[None]) @ pose_r
+        return (local + rng.normal(scale=noise, size=local.shape)).astype(np.float32)
+
+
 def synthetic_trajectory(n_frames: int, dt: float = 0.1, speed: float = 1.5,
                          turn_rate: float = 0.08, seed: int = 0,
                          ramp_seconds: float = 0.0):
