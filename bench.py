@@ -25,6 +25,25 @@ import numpy as np
 # CPU path up 4x as well — was 0.0451 on 2026-08-17):
 # {"metric": "cpu_baseline_frames_per_sec", "value": 0.1804}
 CPU_BASELINE_FPS = 0.1804
+_BASELINE_FILE = "cpu_baseline.json"
+
+
+def cpu_baseline_fps() -> float:
+    """The single-CPU denominator for vs_baseline: `--cpu-baseline` writes
+    its measurement (+date) to cpu_baseline.json next to this script and
+    subsequent runs read it, so a drifting tree refreshes the denominator
+    instead of silently diluting the multiplier against the stale constant
+    above (kept as the fallback)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        _BASELINE_FILE)
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return float(rec["value"])
+    except (OSError, KeyError, ValueError):
+        return CPU_BASELINE_FPS
 
 
 def build(n_frames: int, particles: int, use_pallas: bool = False,
@@ -145,12 +164,21 @@ def main():
     args = ap.parse_args()
 
     if args.cpu_baseline:
+        import datetime
+        import os
+
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         fps = run(n_frames=args.frames or 6, warmup=2)
-        print(json.dumps({"metric": "cpu_baseline_frames_per_sec", "value": round(fps, 4),
-                          "unit": "frames/s", "vs_baseline": 1.0}))
+        rec = {"metric": "cpu_baseline_frames_per_sec", "value": round(fps, 4),
+               "unit": "frames/s", "vs_baseline": 1.0,
+               "date": datetime.date.today().isoformat()}
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            _BASELINE_FILE)
+        with open(path, "w") as f:
+            json.dump(rec, f)
+        print(json.dumps(rec))
         return
 
     # warmup must compile BOTH programs: the bootstrap/per-frame step and
@@ -168,13 +196,16 @@ def main():
               particles=args.particles, early_stop=not args.no_early_stop,
               residual=args.residual, batch=args.batch,
               segmentation=args.segmentation)
+    metric = "lidar_frames_per_sec_per_chip_64_particles"
+    if args.segmentation:
+        metric += "_segmentation"
+    elif args.icp_method != "svn":
+        metric += f"_{args.icp_method}"
     print(json.dumps({
-        "metric": ("lidar_frames_per_sec_per_chip_64_particles_segmentation"
-                   if args.segmentation else
-                   "lidar_frames_per_sec_per_chip_64_particles"),
+        "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
+        "vs_baseline": round(fps / cpu_baseline_fps(), 2),
     }))
 
 

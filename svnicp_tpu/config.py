@@ -226,6 +226,19 @@ class PoseGraphConfig:
     loop_min_separation: int = 20
     optimize_every: int = 10                 # keyframes between optimizations
     loop_max_grad: float = 1e-2              # registration convergence gate
+    # loop-verification registration hyperparameters (the SVN ensemble run
+    # between keyframe clouds)
+    loop_particles: int = 8
+    loop_iterations: int = 40
+    loop_knn: int = 32
+    loop_use_pallas: bool = False
+    # apply the optimized correction back to the LIVE estimate: after each
+    # optimization the last keyframe's delta rigidly moves the pose history,
+    # the ESKF nav state and the voxel map, so loop closures correct future
+    # odometry instead of only the side trajectory. Not supported together
+    # with map.sharded (the rigid move changes voxel keys and hence block
+    # ownership).
+    reanchor: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -273,6 +286,10 @@ class PipelineConfig:
             raise ValueError(
                 "save_particles records the per-iteration particle stack of "
                 f"the 'svn' method; got method={self.icp.method!r}")
+        if self.posegraph.reanchor and self.map.sharded:
+            raise ValueError(
+                "posegraph.reanchor rigidly moves the voxel map (keys change) "
+                "and is not supported with map.sharded")
 
     @property
     def np_dtype(self):

@@ -87,6 +87,18 @@ def knn_candidates(
     return best_i, best_d
 
 
+def bucket_block_size(nt: int, k: int) -> int:
+    """Block size of the blocked-cyclic bucket grouping (shared by the jnp
+    oracle and the Pallas kernel — they MUST agree for bit parity): the
+    largest power of two <= 128 that still deals >= 4 blocks to every slot,
+    floored at 8. 128 >> any per-voxel run (max_points_per_voxel <= ~20);
+    >= 4 blocks per slot keeps slots populated on short valid prefixes."""
+    b = 8
+    while b < 128 and (b * 2) * k * 4 <= max(nt, 1):
+        b *= 2
+    return b
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def knn_candidates_bucketed(
     source: jax.Array,        # [Ns,3]
@@ -98,15 +110,22 @@ def knn_candidates_bucketed(
     """Approximate K-nearest candidates via per-group minima — the TPU-fast
     stage-1 search (drop-in for `knn_candidates`).
 
-    The target is split into k STRIDED groups (row i belongs to group i % k);
-    each source point takes the nearest target of every group. Striding keeps
-    every group populated even when the valid rows sit compacted at the front
-    of a mostly-empty padded table (map blocks, sparse radius extracts) —
-    contiguous k-way chunks would put all residents in group 0 and collapse
-    the candidate set to 1 per table. With hash-ordered targets (our map
-    compaction order) the groups are spatially random, so the result
+    The target is split into k BLOCKED-CYCLIC groups: contiguous blocks of
+    `bucket_block_size(nt, k)` rows are dealt round-robin to the k slots
+    (row i -> slot (i // blk) % k). Each source point takes the nearest
+    target of every slot. The block structure matters on both ends:
+    - blocks are larger than a per-voxel point run (hash-compacted tables
+      keep same-key rows ADJACENT — stable sort on hash(key)), so one
+      voxel's points land in 1-2 slots instead of filling most of them
+      (pure striding measured 3x the align iterations: candidate sets
+      collapsed onto the single nearest voxel and plane fits degenerated);
+    - cycling keeps every slot populated even when the valid rows sit
+      compacted at the front of a mostly-empty padded table (map blocks,
+      sparse radius extracts) — pure contiguous k-way chunks would put all
+      residents in the first slots and starve the rest.
+    With hash-ordered targets the slots are spatially random, so the result
     approximates the true top-k while the *global* 1-NN is exactly included
-    (it is its own group's minimum). Cost: one [Ns,3]x[3,Nt] matmul +
+    (it is its own slot's minimum). Cost: one [Ns,3]x[3,Nt] matmul +
     row-group min — no sort, no top_k, no [Ns,Nt] materialization pressure
     beyond one pass.
 
@@ -117,26 +136,29 @@ def knn_candidates_bucketed(
     Returns (indices [Ns,k], sq_dists [Ns,k]) with +inf for invalid slots.
     """
     ns, nt = source.shape[0], target.shape[0]
-    pad = (-nt) % k
+    blk = bucket_block_size(nt, k)
+    pad = (-nt) % (k * blk)
     if pad:
         target = jnp.concatenate([target, jnp.zeros((pad, 3), target.dtype)], axis=0)
         target_valid = jnp.concatenate([target_valid, jnp.zeros((pad,), bool)], axis=0)
     nt_p = target.shape[0]
     group = nt_p // k
+    n_outer = group // blk           # blocks dealt to each slot
 
     # ranking score: |t|^2 - 2 s.t  (|s|^2 is constant per row)
     t2 = jnp.sum(target * target, axis=-1)
     cross = jnp.matmul(source, target.T, precision=jax.lax.Precision.HIGHEST)
     score = t2[None, :] - 2.0 * cross
     score = jnp.where(target_valid[None, :], score, _INF)
-    # strided grouping: target row i = g*k + c lands in slot c, so slot c's
-    # minimum ranges over rows {c, k+c, 2k+c, ...}
-    score = score.reshape(ns, group, k)
-    within = jnp.argmin(score, axis=1).astype(jnp.int32)             # [Ns,k]
-    idx = within * k + jnp.arange(k, dtype=jnp.int32)[None, :]
+    # blocked-cyclic grouping: row i = (o*k + c)*blk + j lands in slot c
+    score = jnp.moveaxis(score.reshape(ns, n_outer, k, blk), 2, 1)   # [Ns,k,o,j]
+    score = score.reshape(ns, k, group)
+    within = jnp.argmin(score, axis=-1).astype(jnp.int32)            # [Ns,k]
+    slot_c = jnp.arange(k, dtype=jnp.int32)[None, :]
+    idx = ((within // blk) * k + slot_c) * blk + within % blk
     # exact squared distances for the selected candidates
     s2 = jnp.sum(source * source, axis=-1, keepdims=True)
-    best_score = jnp.take_along_axis(score, within[:, None, :], axis=1)[:, 0, :]
+    best_score = jnp.take_along_axis(score, within[..., None], axis=-1)[..., 0]
     d2 = jnp.maximum(best_score + s2, 0.0)
     d2 = jnp.where(jnp.isfinite(best_score), d2, _INF)
     d2 = jnp.where(source_valid[:, None], d2, _INF)

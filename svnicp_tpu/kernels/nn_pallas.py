@@ -571,10 +571,11 @@ def bucketed_candidates(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused stage-1 candidate search (Pallas path of
-    `knn.knn_candidates_bucketed`): the target is split into k STRIDED
-    groups (row i -> group i % k, matching the jnp oracle — striding keeps
-    every group populated for valid-prefix-compacted tables) and each source
-    point takes the nearest target of every group.
+    `knn.knn_candidates_bucketed`): the target is split into k
+    BLOCKED-CYCLIC groups (contiguous `bucket_block_size` blocks dealt
+    round-robin to slots, matching the jnp oracle — see its docstring for
+    why neither pure striding nor pure contiguous chunks work) and each
+    source point takes the nearest target of every group.
 
     Returns (cand_pts [B,k,3], cand_d2 [B,k] with +inf at invalid slots) —
     candidate POINTS directly, replacing the index+gather contract of the
@@ -582,9 +583,12 @@ def bucketed_candidates(
     minima are averaged here (one-hot normalization) where the XLA argmin
     picks the first — measure-zero for real clouds.
     """
+    from svnicp_tpu.kernels.knn import bucket_block_size
+
     b = source.shape[0]
     nt = target.shape[0]
-    pad = (-nt) % k
+    blk = bucket_block_size(nt, k)
+    pad = (-nt) % (k * blk)
     if pad:
         target = jnp.concatenate([target, jnp.zeros((pad, 3), target.dtype)], axis=0)
         target_valid = jnp.concatenate([target_valid, jnp.zeros((pad,), bool)], axis=0)
@@ -594,8 +598,9 @@ def bucketed_candidates(
     bias = jnp.where(target_valid,
                      jnp.sum(target * target, axis=-1), jnp.inf)
     tgt4 = jnp.concatenate([target, bias[:, None]], axis=1)     # [Nt_p,4]
-    # strided groups: row g*k + c -> group c (transpose of the [group,k] view)
-    tgt4 = jnp.transpose(tgt4.reshape(group, k, 4), (1, 0, 2))
+    # blocked-cyclic groups: row (o*k + c)*blk + j -> group c
+    tgt4 = jnp.transpose(tgt4.reshape(group // blk, k, blk, 4),
+                         (1, 0, 2, 3)).reshape(k, group, 4)
     if gp != group:
         fill = jnp.zeros((k, gp - group, 4), tgt4.dtype).at[:, :, 3].set(jnp.inf)
         tgt4 = jnp.concatenate([tgt4, fill], axis=1)

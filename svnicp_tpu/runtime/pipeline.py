@@ -653,6 +653,48 @@ def odometry_steps_packed_pre(cfg: PipelineConfig, state: OdometryState,
     return jax.lax.scan(body, state, (ds_bufs, imu_bufs, metas))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _reanchor_state(cfg: PipelineConfig, state: OdometryState,
+                    delta_r: jax.Array, delta_t: jax.Array) -> OdometryState:
+    """Rigidly move the persistent odometry state by a world-frame correction
+    (pose-graph re-anchor): pose history, ESKF nav state, and the voxel map
+    (keys recomputed, table re-sorted to restore the key-sorted invariant).
+
+    The ESKF covariance is left untouched: every error state in this filter
+    is BODY-frame (pose injection T*exp(delta), velocity r_new @ dv —
+    core/eskf.py update), so a left world-frame rigid move does not rotate
+    the error distribution. The world-frame velocity does rotate.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    dr = delta_r.astype(dtype)
+    dt = delta_t.astype(dtype)
+
+    def move(r, t):
+        return dr @ r, dr @ t + dt
+
+    pose_r, pose_t = move(state.pose_r, state.pose_t)
+    prev_r, prev_t = move(state.prev_r, state.prev_t)
+    nav = state.eskf.nav
+    nav_r, nav_t = move(nav.r, nav.t)
+    ekf = state.eskf._replace(
+        nav=imu_mod.NavState(nav_r, nav_t, dr @ nav.v))
+
+    from svnicp_tpu.core.pointcloud import INVALID_KEY, voxel_key
+
+    pts = state.vmap.points @ dr.T + dt[None, :]
+    key = jnp.where(state.vmap.valid,
+                    voxel_key(pts, cfg.map.voxel_size), INVALID_KEY)
+    skey, sx, sy, sz = jax.lax.sort(
+        (key, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1, is_stable=True)
+    valid = skey != INVALID_KEY
+    new_map = voxmap.VoxelMap(
+        jnp.where(valid[:, None], jnp.stack([sx, sy, sz], axis=-1), 0.0),
+        skey, valid)
+    return state._replace(
+        pose_r=pose_r, pose_t=pose_t, prev_r=prev_r, prev_t=prev_t,
+        eskf=ekf, vmap=new_map)
+
+
 @dataclasses.dataclass
 class LIOPipeline:
     """Host driver: sensor feeds, IMU<->LiDAR sync, frame staging.
@@ -713,6 +755,7 @@ class LIOPipeline:
         self._pending: list = []    # [(t, future)] staged-ahead frames
         self._keyframe_clouds: list[tuple[np.ndarray, np.ndarray]] = []
         self.loop_closures: list[tuple[int, int]] = []
+        self.reanchors = 0
         if self.cfg.posegraph.enabled:
             from svnicp_tpu.runtime.posegraph import PoseGraph
 
@@ -1128,7 +1171,30 @@ class LIOPipeline:
             kf_idx > 0 and kf_idx % self.cfg.posegraph.optimize_every == 0
             and self.loop_closures
         ):
+            before_r = self.posegraph.nodes_r[-1].copy()
+            before_t = self.posegraph.nodes_t[-1].copy()
             self.posegraph.optimize(iterations=8)
+            if self.cfg.posegraph.reanchor:
+                self._reanchor_live(before_r, before_t)
+
+    def _reanchor_live(self, before_r: np.ndarray, before_t: np.ndarray) -> None:
+        """Apply the last keyframe's optimization delta to the LIVE estimate:
+        the current odometry chain hangs off that keyframe, so the world-frame
+        correction T_opt T_before^-1 rigidly moves the pose history, the ESKF
+        nav state and the voxel map (keys are recomputed and the table
+        re-sorted). Loop closures then correct future odometry, not just
+        `optimized_trajectory()`."""
+        after_r = self.posegraph.nodes_r[-1]
+        after_t = self.posegraph.nodes_t[-1]
+        delta_r = after_r @ before_r.T
+        delta_t = after_t - delta_r @ before_t
+        if (np.linalg.norm(delta_t) < 1e-6
+                and np.linalg.norm(delta_r - np.eye(3)) < 1e-6):
+            return
+        self.state = _reanchor_state(
+            self.cfg, self.state,
+            jnp.asarray(delta_r, jnp.float32), jnp.asarray(delta_t, jnp.float32))
+        self.reanchors += 1
 
     def _verify_loop(self, old: int, cur: int):
         """Register keyframe `cur`'s cloud onto keyframe `old`'s cloud; accept
@@ -1147,20 +1213,23 @@ class LIOPipeline:
         guess_r = r_old.T @ r_cur
         guess_t = r_old.T @ (t_cur - t_old)
 
+        pg = self.cfg.posegraph
         loop_cfg = _dc.replace(
-            self.cfg.icp, particle_count=8, iterations=40, knn_count=32,
-            early_stop=True, use_pallas=False,
+            self.cfg.icp, particle_count=pg.loop_particles,
+            iterations=pg.loop_iterations, knn_count=pg.loop_knn,
+            early_stop=True, use_pallas=pg.loop_use_pallas,
             source_capacity=self._KF_CLOUD_SIZE,
             target_capacity=self._KF_CLOUD_SIZE,
         )
+        p = pg.loop_particles
         res = svn.register(
             loop_cfg,
             jnp.asarray(src_pts), jnp.asarray(src_valid),
             jnp.asarray(tgt_pts), jnp.asarray(tgt_valid),
             jnp.asarray(guess_r, jnp.float32), jnp.asarray(guess_t, jnp.float32),
-            jnp.zeros((8, 6), jnp.float32)
-            + jnp.asarray(
-                np.random.default_rng(cur).uniform(-0.05, 0.05, (8, 6)), jnp.float32
+            jnp.asarray(
+                np.random.default_rng(cur).uniform(-0.05, 0.05, (p, 6)),
+                jnp.float32,
             ),
         )
         if not bool(jnp.isfinite(res.mean).all()) or (

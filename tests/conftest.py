@@ -19,8 +19,26 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def _cpu_cache_dir() -> str:
+    """Persistent-compile-cache dir keyed by the host CPU's feature flags:
+    XLA:CPU caches AOT machine code whose required features are NOT part of
+    the jax cache key, so a cache written on one machine SIGSEGVs/SIGILLs
+    when this container lands on different hardware."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    tag = hashlib.md5(flags.encode()).hexdigest()[:10]
+    return f"/tmp/svnicp_jax_cache_cpu_{tag}"
+
+
 # persistent compile cache: repeated test runs skip XLA recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/svnicp_jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
