@@ -49,7 +49,8 @@ def cpu_baseline_fps() -> float:
 def build(n_frames: int, particles: int, use_pallas: bool = False,
           candidate_method: str = "bucketed", iterations: int = 100,
           early_stop: bool = True, residual: str = "point_to_point",
-          batch: int = 1, host_ds: bool = True, segmentation: bool = False):
+          batch: int = 1, host_ds: bool = True, segmentation: bool = False,
+          icp_method: str = "svn"):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
@@ -59,9 +60,14 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
     # of the ensemble mean (see config.convergence_metric); 1e-3 measured
     # best on ATE *and* iteration count (BASELINE.md accuracy table)
     plane = residual == "point_to_plane"
+    # SVGD rows mirror the reference's generic SVGD operating point
+    # (config/ICP_parameters.yaml:4-31): 1st-order optimizer steps need the
+    # reference lr=0.03 scale, not the Newton lr=1.0
+    lr = 0.03 if icp_method == "svgd" else 1.0
     cfg = cfg_mod.PipelineConfig(
         icp=cfg_mod.SteinICPConfig(
-            particle_count=particles, iterations=iterations, lr=1.0, max_dist=3.0,
+            method=icp_method,
+            particle_count=particles, iterations=iterations, lr=lr, max_dist=3.0,
             # plane: K=32 candidate sets double as tight plane-fit
             # neighborhoods (large-K fits span multiple surfaces and bias
             # the normals — BASELINE.md); p2p keeps the reference's K=100
@@ -108,12 +114,12 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
 def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = False,
         candidate_method: str = "bucketed", iterations: int = 100,
         early_stop: bool = True, residual: str = "point_to_point",
-        batch: int = 1, segmentation: bool = False):
+        batch: int = 1, segmentation: bool = False, icp_method: str = "svn"):
     import jax
 
     pipe, times, scans = build(n_frames, particles, use_pallas, candidate_method,
                                iterations, early_stop, residual, batch,
-                               segmentation=segmentation)
+                               segmentation=segmentation, icp_method=icp_method)
     import numpy as _np
 
     # warmup (compile + first-frame bootstrap; flush drains batched mode)
@@ -161,6 +167,12 @@ def main():
                     help="ICP residual model; point_to_plane is the default "
                          "operating point (better ATE and fps, BASELINE.md); "
                          "point_to_point is the reference-parity row")
+    ap.add_argument("--icp-method", default="svn",
+                    choices=["svn", "svgd", "svd"],
+                    help="algorithm family: svn (Gauss-Newton + Stein, the "
+                         "flagship), svgd (1st-order reference SVGD-ICP at "
+                         "lr=0.03, ICP_parameters.yaml parity), svd (classic "
+                         "Kabsch ICP)")
     args = ap.parse_args()
 
     if args.cpu_baseline:
@@ -195,7 +207,7 @@ def main():
               candidate_method=args.method, iterations=args.iters,
               particles=args.particles, early_stop=not args.no_early_stop,
               residual=args.residual, batch=args.batch,
-              segmentation=args.segmentation)
+              segmentation=args.segmentation, icp_method=args.icp_method)
     metric = "lidar_frames_per_sec_per_chip_64_particles"
     if args.segmentation:
         metric += "_segmentation"
