@@ -177,7 +177,9 @@ def rebalance(
             k_key = jnp.where(k_keep, cat_key[korder], INVALID_KEY)
             k_pts = jnp.where(k_keep[:, None], cat_pts[korder], 0.0)
             final = jnp.argsort(k_key, stable=True)
-            dropped += jnp.maximum(kept_total - cl, 0)
+            # int32 explicitly: under jax x64 the bool-sum promotes to int64
+            # and would break the scan carry's dtype invariance
+            dropped += jnp.maximum(kept_total - cl, 0).astype(jnp.int32)
             pts = jax.lax.ppermute(pts, sharding.POINT_AXIS, perm)
             key = jax.lax.ppermute(key, sharding.POINT_AXIS, perm)
             valid = jax.lax.ppermute(valid, sharding.POINT_AXIS, perm)
@@ -205,48 +207,63 @@ def rebalance(
     return vm.VoxelMap(pts, key, valid), new_splits, dropped
 
 
-def _ring_candidates(source_l, src_valid_l, blk_pts, blk_valid, k_per: int):
-    """Gather bucketed candidates from every map block via a point-axis ring.
+def _ring_candidates(source_l, src_valid_l, blk_pts, blk_valid, k: int,
+                     method: str = "bucketed"):
+    """Gather K candidates from every map block via a point-axis ring, then
+    keep the K globally nearest of the S*K union (one lax.top_k).
 
-    The bucketed group-min search uses STRIDED groups (row i -> slot i % k,
-    see knn.knn_candidates_bucketed), which matters doubly here: map blocks
-    store their residents compacted at the front of a mostly-empty padded
-    table (contiguous groups would all collapse into slot 0 and starve the
-    candidate set), and the key-sorted row order means consecutive rows of
-    one voxel spread across slots, so each slot covers the block's whole
-    spatial extent.
+    Every block contributes a FULL K-candidate set (not K/S): the per-block
+    search is one pass over the block's rows either way, so the only extra
+    cost is the trivial [B, S*K] -> K top-k — and the union top-k makes the
+    composed candidate set independent of HOW the map happens to be split
+    into blocks, which is what replicated-vs-sharded trajectory parity needs
+    (per-block K/S budgets composed candidates differently per split and
+    drifted ~0.1 m over 8 frames).
 
-    Returns (cand_pts [Bl, S*k_per, 3], cand_valid [Bl, S*k_per]).
+    method "topk" uses the exact per-block top-K, whose union top-K IS the
+    exact global KNN over all resident map points (each of the K global
+    nearest is among the K nearest of its own block) — the parity anchor.
+    method "bucketed" (default) uses the group-min search: blocked-cyclic
+    groups (see knn.knn_candidates_bucketed) matter here because map blocks
+    store residents compacted at the front of a mostly-empty padded table —
+    cycling keeps all K slots populated; the union top-k then ranks S*K
+    group-minima, a strictly finer approximation than one global K-group
+    pass.
+
+    Returns (cand_pts [Bl, K, 3], cand_valid [Bl, K]).
     """
     from svnicp_tpu.kernels import knn
 
     n_shards = jax.lax.axis_size(sharding.POINT_AXIS)
-    me = jax.lax.axis_index(sharding.POINT_AXIS)
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
     def step(carry, _):
-        pts, valid, acc_pts, acc_valid, slot = carry
-        idx, d2 = knn.knn_candidates_bucketed(
-            source_l, pts, src_valid_l, valid, k_per
-        )
-        got = pts[idx]                                        # [Bl,k_per,3]
-        ok = jnp.isfinite(d2)
+        pts, valid, acc_pts, acc_d2, slot = carry
+        if method == "topk":
+            idx, d2 = knn.knn_candidates(source_l, pts, src_valid_l, valid, k)
+        else:
+            idx, d2 = knn.knn_candidates_bucketed(
+                source_l, pts, src_valid_l, valid, k
+            )
+        got = pts[idx]                                        # [Bl,k,3]
         acc_pts = acc_pts.at[:, slot].set(got)
-        acc_valid = acc_valid.at[:, slot].set(ok)
+        acc_d2 = acc_d2.at[:, slot].set(d2)
         pts = jax.lax.ppermute(pts, sharding.POINT_AXIS, perm)
         valid = jax.lax.ppermute(valid, sharding.POINT_AXIS, perm)
-        return (pts, valid, acc_pts, acc_valid, slot + 1), None
+        return (pts, valid, acc_pts, acc_d2, slot + 1), None
 
     bl = source_l.shape[0]
-    acc_pts = jnp.zeros((bl, n_shards, k_per, 3), source_l.dtype)
-    acc_valid = jnp.zeros((bl, n_shards, k_per), bool)
-    (_, _, acc_pts, acc_valid, _), _ = jax.lax.scan(
-        step, (blk_pts, blk_valid, acc_pts, acc_valid, jnp.int32(0)),
+    acc_pts = jnp.zeros((bl, n_shards, k, 3), source_l.dtype)
+    acc_d2 = jnp.full((bl, n_shards, k), jnp.inf, source_l.dtype)
+    (_, _, acc_pts, acc_d2, _), _ = jax.lax.scan(
+        step, (blk_pts, blk_valid, acc_pts, acc_d2, jnp.int32(0)),
         None, length=n_shards,
     )
-    del me
-    k = acc_pts.shape[1] * k_per
-    return acc_pts.reshape(bl, k, 3), acc_valid.reshape(bl, k)
+    acc_pts = acc_pts.reshape(bl, n_shards * k, 3)
+    acc_d2 = acc_d2.reshape(bl, n_shards * k)
+    neg_top, sel = jax.lax.top_k(-acc_d2, k)                  # [Bl,k]
+    cand_pts = jnp.take_along_axis(acc_pts, sel[..., None], axis=1)
+    return cand_pts, jnp.isfinite(-neg_top)
 
 
 def sharded_register_with_map(
@@ -259,15 +276,16 @@ def sharded_register_with_map(
     init_particles: jax.Array,  # [P,6] sharded over the particle axis
 ) -> svn.AlignResult:
     """Full distributed registration against the *sharded* map: ring-gather
-    candidates from all map blocks, then the mesh-parallel SVN loop."""
-    n_point = mesh.shape[sharding.POINT_AXIS]
-    k_per = max(cfg.knn_count // n_point, 1)
+    candidates from all map blocks (full-K per block + union top-k, so the
+    candidate set is split-independent — exact global KNN under
+    candidate_method "topk"), then the mesh-parallel SVN loop."""
 
     def body(source_l, src_valid_l, map_pts_l, map_key_l, map_valid_l,
              r0_l, t0_l, init_l):
         source_at_guess = geo.transform_points(r0_l, t0_l, source_l)
         cand_pts, cand_valid = _ring_candidates(
-            source_at_guess, src_valid_l, map_pts_l, map_valid_l, k_per
+            source_at_guess, src_valid_l, map_pts_l, map_valid_l,
+            cfg.knn_count, method=cfg.candidate_method,
         )
         feat, bias = svn.correspondence_features(source_l, cand_pts, cand_valid)
         normals = None

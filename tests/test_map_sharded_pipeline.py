@@ -3,10 +3,19 @@
 The distributed map (parallel/voxmap_sharded) serving the odometry loop end
 to end: sharded bootstrap insert, ring-gather candidates, sharded per-frame
 insert, and online rebalancing — driven through LIOPipeline on the simulated
-8-device CPU mesh. Parity target: the sharded-map trajectory matches the
-replicated-map trajectory (same frames, same seeds) within centimetres; the
-two paths differ only in candidate search composition (k_per-per-block ring
-gather vs one global bucketed pass).
+8-device CPU mesh.
+
+Parity design (round-3 rework): under candidate_method="topk" the sharded
+ring gather composes the EXACT global KNN (per-block exact top-K + union
+top-K — each global nearest is among its own block's top-K), identical to
+the replicated path's exact search whenever the replicated radius query
+does not truncate. The parity tests therefore run topk + float64 (jax x64):
+candidate sets are equal by construction and the remaining divergence is
+only collective-reduction rounding at ~1e-16, which cannot amplify to
+visible drift the way f32's ~1e-7 did (round-2's 0.098 m cross-host
+failure). The live bucketed mode is covered by the ground-truth-tracking
+tests, which assert ATE against truth (self-stabilizing, host-robust)
+rather than path-vs-path drift.
 
 Reference semantics being distributed: VoxelHashMap insert/evict/cap
 (ref: svn-icp/src/core/VoxelHashMap.cpp:22-61) applied per key-range block.
@@ -14,6 +23,7 @@ Reference semantics being distributed: VoxelHashMap insert/evict/cap
 
 import dataclasses
 
+import jax
 import numpy as np
 import pytest
 
@@ -42,6 +52,22 @@ def sharded_cfg(particle_axis=2, point_axis=4, rebalance_every=0, **over):
     return small_cfg(**defaults)
 
 
+def parity_overrides():
+    """Exact-composition f64 operating point (module docstring): topk
+    candidates, target capacity = map capacity so the replicated radius
+    query can never truncate (truncation would give the replicated path a
+    SUBSET of the map the sharded path searches fully)."""
+    return dict(
+        icp=cfg_mod.SteinICPConfig(
+            particle_count=8, iterations=30, lr=1.0, max_dist=2.8,
+            knn_count=16, early_stop=True, convergence_threshold=5e-4,
+            candidate_method="topk",
+            source_capacity=1024, target_capacity=32768,
+        ),
+        dtype="float64",
+    )
+
+
 class TestShardedMapPipelineMode:
     def test_tracks_ground_truth_on_2x4_mesh(self, world):
         cfg = sharded_cfg()
@@ -53,15 +79,18 @@ class TestShardedMapPipelineMode:
         assert ate < 0.12, f"sharded-map ATE {ate}"
 
     def test_parity_with_replicated_map(self, world):
-        cfg_s = sharded_cfg()
-        pipe_s, gt = run_sequence(cfg_s, world, n_frames=8)
-        cfg_r = small_cfg()
-        pipe_r, _ = run_sequence(cfg_r, world, n_frames=8)
+        """Exact-composition parity (module docstring): identical candidate
+        sets by construction, f64 numerics — the sharded-map pipeline must
+        reproduce the replicated-map trajectory to collective-rounding
+        levels, far below a millimetre."""
+        with jax.enable_x64(True):
+            cfg_s = sharded_cfg(**parity_overrides())
+            pipe_s, gt = run_sequence(cfg_s, world, n_frames=8)
+            cfg_r = small_cfg(**parity_overrides())
+            pipe_r, _ = run_sequence(cfg_r, world, n_frames=8)
         est_s, est_r = pipe_s.trajectory(), pipe_r.trajectory()
-        # identical frames/seeds; only the candidate-search composition
-        # differs — trajectories must agree to centimetres
         diff = np.linalg.norm(est_s[:, :3, 3] - est_r[:, :3, 3], axis=1)
-        assert diff.max() < 0.06, f"sharded vs replicated drift {diff.max()}"
+        assert diff.max() < 1e-4, f"sharded vs replicated drift {diff.max()}"
 
     def test_rebalance_in_the_loop(self, world):
         cfg = sharded_cfg(rebalance_every=3)
@@ -76,11 +105,16 @@ class TestShardedMapPipelineMode:
     def test_map_contents_match_replicated_insert(self, world):
         """The sharded map holds exactly the same resident voxel keys as the
         single-device map after identical frames (per-block semantics are
-        unchanged; only the layout is distributed)."""
-        cfg_s = sharded_cfg()
-        pipe_s, _ = run_sequence(cfg_s, world, n_frames=4)
-        cfg_r = small_cfg()
-        pipe_r, _ = run_sequence(cfg_r, world, n_frames=4)
+        unchanged; only the layout is distributed). Under the exact-parity
+        operating point the two pipelines' poses agree to ~1e-9 (see
+        test_parity_with_replicated_map), so every insert lands in the SAME
+        voxel on both paths and the key sets must be identical — not
+        approximately overlapping."""
+        with jax.enable_x64(True):
+            cfg_s = sharded_cfg(**parity_overrides())
+            pipe_s, _ = run_sequence(cfg_s, world, n_frames=4)
+            cfg_r = small_cfg(**parity_overrides())
+            pipe_r, _ = run_sequence(cfg_r, world, n_frames=4)
         from svnicp_tpu.core.pointcloud import INVALID_KEY
 
         ks = np.asarray(pipe_s.state.vmap.key)
@@ -89,13 +123,7 @@ class TestShardedMapPipelineMode:
         vr = np.asarray(pipe_r.state.vmap.valid)
         keys_s = np.unique(ks[vs & (ks != INVALID_KEY)])
         keys_r = np.unique(kr[vr & (kr != INVALID_KEY)])
-        # the two paths register with differently-composed candidate sets,
-        # so poses differ at the cm level and boundary voxels shift; bulk
-        # occupancy must still match (a layout/insert bug reads ~0.9 here,
-        # the honest cm-trajectory effect ~0.96-0.97)
-        inter = np.intersect1d(keys_s, keys_r).size
-        union = np.union1d(keys_s, keys_r).size
-        assert inter / union > 0.95, f"voxel IoU {inter / union}"
+        np.testing.assert_array_equal(keys_s, keys_r)
 
     def test_sharded_without_mesh_raises(self):
         cfg = small_cfg(
