@@ -164,6 +164,27 @@ def svn_full_update(
     return lr * residuals.cholesky_solve6(h_bar, drive)
 
 
+def clip_step(stein_grad: jax.Array, max_dist: float) -> jax.Array:
+    """Per-particle trust region at the correspondence-gate scale.
+
+    On exactly-degenerate geometry (e.g. a bare plane: x, y, yaw null) the
+    GN Hessian's null rows are pure jitter (residuals._JITTER), so the
+    preconditioned Stein repulsion H^-1 grad_k is ~grad_k/1e-6 along those
+    directions — unbounded steps that explode the ensemble in ALL dims once
+    the rotation update mixes axes. A step larger than max_dist is
+    physically meaningless anyway (every correspondence breaks beyond the
+    gate, SVNICP.cpp:331-333), so steps are norm-clipped there. Deliberate
+    divergence from the reference, which has no such guard (it was only
+    ever run on real scans, where sampling texture keeps H full-rank);
+    below the cap the multiplier is exactly 1.0f, so non-degenerate
+    behavior is bit-identical (transcript parity tests unaffected).
+    """
+    norm = jnp.linalg.norm(stein_grad, axis=-1, keepdims=True)
+    cap = jnp.asarray(max_dist, stein_grad.dtype)
+    tiny = jnp.asarray(1e-30, stein_grad.dtype)
+    return stein_grad * jnp.minimum(1.0, cap / jnp.maximum(norm, tiny))
+
+
 def _pose_update(r, t, stein_grad):
     """Right-multiplicative SE(3) update (ref: SVNICP.cpp:268-279):
     R <- R exp(w^), t <- R_new (J_l dt) + t."""
@@ -282,6 +303,7 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
             stein_grad = svgd_precond_grad(coords, coords, -newton, h_mean)
     else:
         stein_grad = -newton
+    stein_grad = clip_step(stein_grad, cfg.max_dist)
 
     r_new, t_new = _pose_update(state.r, state.t, stein_grad)
     grad_norm = jnp.mean(jnp.linalg.norm(stein_grad, axis=1))

@@ -141,6 +141,7 @@ def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_va
         h_mean = jax.lax.pmean(jnp.mean(hess, axis=0), PARTICLE_AXIS)
         neg_newton_full = jax.lax.all_gather(-newton, PARTICLE_AXIS, tiled=True)
         stein_grad = svn.svgd_precond_grad(coords, coords_full, neg_newton_full, h_mean)
+    stein_grad = svn.clip_step(stein_grad, cfg.max_dist)
 
     dt_, omega = stein_grad[:, :3], stein_grad[:, 3:]
     dr = geo.bso3_exp(omega)

@@ -10,10 +10,21 @@ io.datasets.DegenerateWorld) and assert the anisotropy, the containment,
 and the covariance calibration end to end.
 
 Variance index order: [x, y, z, roll, pitch, yaw] (particle coords [t, logR]).
+
+Host-independence note: the equilibrium Stein dynamics are chaotic, so at
+f32 the per-host XLA:CPU codegen differences (reduction reassociation,
+~1e-7) amplify to O(1) trajectory/variance shifts — the round-2 thresholds
+calibrated on one machine failed on another (tunnel dominance measured 3x
+here, 1.47x there). The anisotropy tests therefore run the pipeline at
+`dtype: float64`, where the same reassociation noise (~1e-16) stays below
+~1e-10 after amplification: identical seeds give the same variances on any
+host, and the thresholds below carry >=2x measured margin.
 """
 
 import numpy as np
 import pytest
+
+import jax
 
 from svnicp_tpu import config as cfg_mod
 from svnicp_tpu.core.imu import GRAVITY
@@ -30,11 +41,24 @@ def kf_cfg(equilibrium: bool = False, **over):
     early stop): the spread along unobservable directions keeps growing by
     kernel repulsion after the mean has converged, so anisotropy is fully
     expressed — the early-stopped operating point shows the same effect but
-    ~2-3x weaker."""
+    ~2-3x weaker.
+
+    The equilibrium anisotropy tests run the point-to-plane residual (the
+    framework's flagship operating point): under it the unobservable-
+    direction invariance is STRUCTURAL — every tunnel/corridor facet normal
+    is orthogonal to x, so n.(q - p) is exactly invariant to x-translation
+    and nothing bounds the x-spread but the prior box. Point-to-point
+    against a discretely-sampled map is NOT invariant: nearest-neighbor
+    matching locks onto the map's point-sampling texture (~0.16 m spacing
+    here), which constrains x almost as strongly as the 1 cm scan noise
+    constrains y — measured x/y variance ratio only ~1.5x at f64, too weak
+    an effect to assert on (and exactly what round 2's cross-host failure
+    was). The early-stopped p2p tests below keep the reference residual."""
     base = dict(
         icp=cfg_mod.SteinICPConfig(
             particle_count=8, iterations=60 if equilibrium else 30, lr=1.0,
             max_dist=2.8, knn_count=16,
+            residual="point_to_plane" if equilibrium else "point_to_point",
             early_stop=not equilibrium, convergence_threshold=5e-4,
             source_capacity=1024, target_capacity=16384,
         ),
@@ -45,6 +69,7 @@ def kf_cfg(equilibrium: bool = False, **over):
         lio=cfg_mod.LIOConfig(estimator="kf", frame_gap_seconds=0.0),
         imu=cfg_mod.IMUNoiseConfig.from_yaml_units(
             [2.0, 2.0, 10.0], [50.0] * 3, [20.0] * 3, [500.0] * 3),
+        dtype="float64",   # host-independent numerics (module docstring)
     )
     base.update(over)
     return cfg_mod.PipelineConfig(**base)
@@ -63,12 +88,13 @@ def run_world(world, seed=0, cfg=None):
     cfg = cfg or kf_cfg()
     times, rots, trans = straight_trajectory()
     rng = np.random.default_rng(seed)
-    pipe = pl.LIOPipeline(cfg)
-    for t, acc, gyro in datasets.synthetic_imu(times, rots, trans, GRAVITY):
-        pipe.feed_imu(t, acc, gyro)
-    for i in range(N_FRAMES):
-        pipe.feed_scan(float(times[i]),
-                       world.scan_at(rng, rots[i], trans[i], n_points=4000))
+    with jax.enable_x64(cfg.dtype == "float64"):
+        pipe = pl.LIOPipeline(cfg)
+        for t, acc, gyro in datasets.synthetic_imu(times, rots, trans, GRAVITY):
+            pipe.feed_imu(t, acc, gyro)
+        for i in range(N_FRAMES):
+            pipe.feed_scan(float(times[i]),
+                           world.scan_at(rng, rots[i], trans[i], n_points=4000))
     return pipe, times, rots, trans
 
 
@@ -87,17 +113,15 @@ class TestCorridor:
     """Two smooth walls + floor along x: x-translation unobservable."""
 
     def test_anisotropic_variance_and_containment(self):
-        # Dominance ratios calibrated to the algorithm: the Stein kernel's
-        # shared median bandwidth couples dimensions (a large x-spread
-        # inflates repulsion in every dim), so the unobservable axis
-        # dominates by ~3x over the weakest constrained axis, not by orders
-        # of magnitude — the reference behaves identically (same kernel,
-        # SVNICP.cpp:254-266).
+        # Under the plane residual the x-invariance is structural (kf_cfg
+        # docstring), so the unobservable axis dominates by ORDERS OF
+        # MAGNITUDE (measured x/max(y,z) = 257, x/z = 10541 at f64 —
+        # host-independent); thresholds keep >=8x margin.
         pipe, _, _, trans = run_world(datasets.DegenerateWorld("corridor"),
                                       cfg=kf_cfg(equilibrium=True))
         v = median_var(pipe)
-        assert v[0] > 2.2 * max(v[1], v[2]), f"var not x-dominant: {v}"
-        assert v[0] > 4.0 * v[2], f"var not x-dominant over z: {v}"
+        assert v[0] > 30.0 * max(v[1], v[2]), f"var not x-dominant: {v}"
+        assert v[0] > 1000.0 * v[2], f"var not x-dominant over z: {v}"
         err = errors(pipe, trans)
         assert np.isfinite(err).all()
         # constrained dims held by ICP; unobservable x held only by the IMU
@@ -130,11 +154,13 @@ class TestTunnel:
     """Octagonal prism along x: x unobservable, cross-section constrained."""
 
     def test_anisotropic_variance_and_containment(self):
+        # measured x/max(y,z) = 35.6, x/z = 3855 at f64 (host-independent);
+        # thresholds keep >=3.5x margin
         pipe, _, _, trans = run_world(datasets.DegenerateWorld("tunnel"),
                                       cfg=kf_cfg(equilibrium=True))
         v = median_var(pipe)
-        assert v[0] > 2.2 * max(v[1], v[2]), f"var not x-dominant: {v}"
-        assert v[0] > 4.0 * v[2], f"var not x-dominant over z: {v}"
+        assert v[0] > 10.0 * max(v[1], v[2]), f"var not x-dominant: {v}"
+        assert v[0] > 400.0 * v[2], f"var not x-dominant over z: {v}"
         err = errors(pipe, trans)
         assert np.isfinite(err).all()
         assert np.abs(err[:, 1]).max() < 0.15
@@ -146,12 +172,17 @@ class TestPlane:
     """Bare ground plane: x, y and yaw unobservable; z, roll, pitch held."""
 
     def test_anisotropic_variance_and_containment(self):
+        # measured x/z = 62, y/z = 19, yaw/max(roll,pitch) = 549 at f64
+        # (host-independent); thresholds keep >=3x margin. z variance is
+        # large in ABSOLUTE terms here (particles that wander tens of
+        # metres along the null dims leave the finite floor extent and lose
+        # their z constraint too) — the claim is the ordering, not a scale.
         pipe, _, _, trans = run_world(datasets.DegenerateWorld("plane"),
                                       cfg=kf_cfg(equilibrium=True))
         v = median_var(pipe)
-        assert v[0] > 5.0 * v[2], f"x not dominant over z: {v}"
-        assert v[1] > 5.0 * v[2], f"y not dominant over z: {v}"
-        assert v[5] > 3.0 * max(v[3], v[4]), f"yaw not dominant: {v}"
+        assert v[0] > 15.0 * v[2], f"x not dominant over z: {v}"
+        assert v[1] > 6.0 * v[2], f"y not dominant over z: {v}"
+        assert v[5] > 100.0 * max(v[3], v[4]), f"yaw not dominant: {v}"
         err = errors(pipe, trans)
         assert np.isfinite(err).all()
         assert np.abs(err[:, 2]).max() < 0.15   # z held by the plane
@@ -171,6 +202,8 @@ class TestHDL64Segmentation:
                 use_segmentation=True, sensor_model="hdl64",
                 raw_capacity=147456),     # 64*2250 = 144000 rays
             lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
+            dtype="float32",   # the f32 operating point; assertions here are
+                               # coarse (err < 0.2), not margin-calibrated
         )
         times = np.arange(3) * DT
         rots = np.tile(np.eye(3), (3, 1, 1))
