@@ -232,6 +232,17 @@ class PoseGraphConfig:
     loop_iterations: int = 40
     loop_knn: int = 32
     loop_use_pallas: bool = False
+    # edge-information conditioning: the raw ICP particle covariance is
+    # overconfident for converged point-to-point runs (measured mean NEES
+    # ~88, BASELINE.md), so edges built from it would claim millimetre
+    # certainty while carrying decimetre errors and a single bad stretch of
+    # odometry would dominate the whole graph. cov_floor adds sigma_floor^2
+    # to the diagonal before inversion (default (2 cm)^2); huber_delta is
+    # the robust-kernel threshold on the whitened edge norm (Huber weights
+    # in the Gauss-Newton loop downweight outlier edges instead of letting
+    # them drag the graph; 0 disables).
+    cov_floor: float = 4e-4
+    huber_delta: float = 3.0
     # apply the optimized correction back to the LIVE estimate: after each
     # optimization the last keyframe's delta rigidly moves the pose history,
     # the ESKF nav state and the voxel map, so loop closures correct future

@@ -568,8 +568,8 @@ def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
                              ds_buf: jax.Array, imu_buf: jax.Array,
                              meta: jax.Array, mesh=None):
     """`odometry_step` over a HOST-preprocessed cloud: ds_buf [2*src_cap,3]
-    = the stage-A (0.5*voxel) to_map rows (zero-padded), meta [3] f64 =
-    (stamp, n_map, n_imu). The stage-B source cloud is DERIVED on device
+    = the stage-A (0.5*voxel) to_map rows (zero-padded), meta [4] f64 =
+    (stamp, n_map, n_imu, n_imu_dropped). The stage-B source cloud is DERIVED on device
     (downsample of to_map — identical selection to the host/native stage B,
     three-way tested), so the per-frame upload ships only the coarse cloud:
     the tunnel transfer is the frame-floor bottleneck (see
@@ -765,6 +765,8 @@ class LIOPipeline:
                 keyframe_rot_threshold=pg.keyframe_rot_threshold,
                 loop_radius=pg.loop_radius,
                 loop_min_separation=pg.loop_min_separation,
+                cov_floor=pg.cov_floor,
+                huber_delta=pg.huber_delta,
             )
 
     def feed_imu(self, t: float, acc, gyro) -> None:
@@ -1191,9 +1193,10 @@ class LIOPipeline:
         if (np.linalg.norm(delta_t) < 1e-6
                 and np.linalg.norm(delta_r - np.eye(3)) < 1e-6):
             return
+        dt = jnp.dtype(self.cfg.dtype)
         self.state = _reanchor_state(
             self.cfg, self.state,
-            jnp.asarray(delta_r, jnp.float32), jnp.asarray(delta_t, jnp.float32))
+            jnp.asarray(delta_r, dt), jnp.asarray(delta_t, dt))
         self.reanchors += 1
 
     def _verify_loop(self, old: int, cur: int):
@@ -1222,14 +1225,14 @@ class LIOPipeline:
             target_capacity=self._KF_CLOUD_SIZE,
         )
         p = pg.loop_particles
+        dt = jnp.dtype(self.cfg.dtype)
         res = svn.register(
             loop_cfg,
-            jnp.asarray(src_pts), jnp.asarray(src_valid),
-            jnp.asarray(tgt_pts), jnp.asarray(tgt_valid),
-            jnp.asarray(guess_r, jnp.float32), jnp.asarray(guess_t, jnp.float32),
+            jnp.asarray(src_pts, dt), jnp.asarray(src_valid),
+            jnp.asarray(tgt_pts, dt), jnp.asarray(tgt_valid),
+            jnp.asarray(guess_r, dt), jnp.asarray(guess_t, dt),
             jnp.asarray(
-                np.random.default_rng(cur).uniform(-0.05, 0.05, (p, 6)),
-                jnp.float32,
+                np.random.default_rng(cur).uniform(-0.05, 0.05, (p, 6)), dt,
             ),
         )
         if not bool(jnp.isfinite(res.mean).all()) or (

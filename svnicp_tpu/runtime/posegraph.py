@@ -36,6 +36,14 @@ class PoseGraph:
     keyframe_rot_threshold: float = 0.3   # [rad]
     loop_radius: float = 4.0
     loop_min_separation: int = 20
+    # information conditioning (PoseGraphConfig.cov_floor/huber_delta):
+    # floor the edge covariance diagonal before inversion (the raw ICP
+    # particle covariance is overconfident — BASELINE.md NEES ~88 — and an
+    # unfloored bad odometry stretch claims mm-certainty for dm errors and
+    # drags the whole graph), and robustify edges with a Huber kernel on
+    # the whitened residual norm inside the GN loop.
+    cov_floor: float = 4e-4
+    huber_delta: float = 3.0
 
     def __post_init__(self):
         self.nodes_r: list[np.ndarray] = []
@@ -68,11 +76,10 @@ class PoseGraph:
         self.stamps.append(stamp)
         return True
 
-    @staticmethod
-    def _information(cov) -> np.ndarray:
+    def _information(self, cov) -> np.ndarray:
         if cov is None:
             return np.eye(6)
-        c = np.asarray(cov, np.float64) + 1e-6 * np.eye(6)
+        c = np.asarray(cov, np.float64) + self.cov_floor * np.eye(6)
         return np.linalg.inv(c)
 
     def loop_candidates(self) -> list[tuple[int, int]]:
@@ -108,7 +115,8 @@ class PoseGraph:
         zr = jnp.asarray(np.stack([e[2] for e in self.edges]), jnp.float32)
         zt = jnp.asarray(np.stack([e[3] for e in self.edges]), jnp.float32)
         info = jnp.asarray(np.stack([e[4] for e in self.edges]), jnp.float32)
-        new_r, new_t = _optimize(nodes_r, nodes_t, ei, ej, zr, zt, info, iterations)
+        new_r, new_t = _optimize(nodes_r, nodes_t, ei, ej, zr, zt, info,
+                                 iterations, float(self.huber_delta))
         self.nodes_r = [np.asarray(r, np.float64) for r in np.asarray(new_r)]
         self.nodes_t = [np.asarray(t, np.float64) for t in np.asarray(new_t)]
 
@@ -131,8 +139,9 @@ def _edge_residual(ri, ti, rj, tj, zr, zt):
     return geo.se3_log(er, et)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
-def _optimize(nodes_r, nodes_t, ei, ej, zr, zt, info, iterations: int):
+@functools.partial(jax.jit, static_argnames=("iterations", "huber_delta"))
+def _optimize(nodes_r, nodes_t, ei, ej, zr, zt, info, iterations: int,
+              huber_delta: float = 0.0):
     n = nodes_r.shape[0]
 
     def gn_step(carry, _):
@@ -156,10 +165,22 @@ def _optimize(nodes_r, nodes_t, ei, ej, zr, zt, info, iterations: int):
         jac = jax.jacfwd(residual_of)(zero)            # [E*6, N*6]
         # weighted normal equations, edge-block information applied by einsum
         n_edges = info.shape[0]
+        res_e = res0.reshape(n_edges, 6)
+        w_info = info
+        if huber_delta > 0:
+            # Huber robust kernel on the whitened edge norm: outlier edges
+            # (bad odometry stretches, wrong loop hypotheses) get weight
+            # delta/chi instead of dragging the whole graph — the standard
+            # robust pose-graph treatment; IRLS form, re-evaluated each GN
+            # iteration on the current residuals
+            chi = jnp.sqrt(jnp.maximum(
+                jnp.einsum("ei,eij,ej->e", res_e, info, res_e), 1e-12))
+            w = jnp.minimum(1.0, huber_delta / chi)
+            w_info = info * w[:, None, None]
         jac_e = jac.reshape(n_edges, 6, n * 6)
-        wj = jnp.einsum("eij,ejm->eim", info, jac_e)
+        wj = jnp.einsum("eij,ejm->eim", w_info, jac_e)
         h = jnp.einsum("ein,eim->nm", jac_e, wj)
-        g = jnp.einsum("eim,ei->m", wj, res0.reshape(n_edges, 6))
+        g = jnp.einsum("eim,ei->m", wj, res_e)
         # gauge fixing: clamp node 0 + Levenberg regularization
         mask = jnp.ones(n * 6, nodes_r.dtype).at[:6].set(0.0)
         h = h * mask[:, None] * mask[None, :] + jnp.diag(1e-5 + (1.0 - mask) * 1e5)

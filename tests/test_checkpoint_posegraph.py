@@ -2,6 +2,7 @@
 
 import dataclasses
 
+import jax
 import numpy as np
 import pytest
 
@@ -130,37 +131,74 @@ class TestPoseGraphIntegration:
 
 
 class TestReanchor:
-    def _out_and_back(self):
-        """Out-and-back ground truth whose return leg revisits the start:
-        a loop closure there must correct accumulated drift."""
-        xs = np.concatenate([np.linspace(0, 4.0, 11), np.linspace(3.6, -0.4, 11)])
-        n = len(xs)
-        trans = np.stack([xs, np.zeros(n), np.full(n, 0.8)], 1)
-        trans[11:, 1] = -0.2
-        rots = np.tile(np.eye(3), (n, 1, 1))
+    """Loop-closure reanchoring must demonstrably reduce live drift.
+
+    Scenario design (round-3 rework; the round-2 out-and-back version
+    compared 0.068 vs 0.066 m): scan-to-map LIO against a persistent map is
+    SELF-localizing on a straight out-and-back — returning scans re-register
+    against the start-region map and absorb the drift, so there was nothing
+    for the closure to correct (and reanchoring an ill-conditioned graph
+    actively hurt). Here the vehicle drives a CIRCLE through fresh territory
+    with the scan range capped below the circle diameter: every region is
+    mapped once, the registration never sees a global anchor, and heading
+    error compounds into real accumulated drift by the time the start
+    region comes back into view. The keyframe-to-keyframe loop registration
+    (whose target is ONLY the old cloud, so the drifted recent map cannot
+    capture it) then recovers the true relative pose, and reanchor feeds the
+    correction into the live pose/map/filter.
+
+    Host-independence: runs at dtype float64 (jax x64) — per-host XLA:CPU
+    codegen noise (~1e-16) cannot amplify to visible trajectory differences
+    the way f32's ~1e-7 does through the chaotic align loop, so identical
+    seeds give the same drift numbers on any machine and the margin below
+    is real, not machine-calibrated."""
+
+    N_CLOSE = 60          # frames for one full circle
+    N_EXTRA = 4           # frames past closure (the live estimate under test)
+    RADIUS = 6.0          # measured at f64: odometry-only 0.712 m final
+                          # drift, reanchored 0.153 m — 4.7x (the 2x
+                          # assertion below carries 2.3x margin)
+
+    def _circle(self):
+        n = self.N_CLOSE + self.N_EXTRA
+        theta = np.arange(n) * (2 * np.pi / self.N_CLOSE)
+        center = np.array([0.0, self.RADIUS, 0.8])
+        trans = center[None] + self.RADIUS * np.stack(
+            [np.sin(theta), -np.cos(theta), np.zeros(n)], 1)
+        rots = np.zeros((n, 3, 3))
+        c, s = np.cos(theta), np.sin(theta)
+        for i in range(n):
+            rots[i] = [[c[i], -s[i], 0], [s[i], c[i], 0], [0, 0, 1]]
         return trans, rots
 
     def _run(self, rng_seed, reanchor: bool, enabled: bool = True):
-        world = datasets.SyntheticWorld(extent=30.0, seed=4)
-        trans, rots = self._out_and_back()
-        # deliberately sloppy odometry (few iterations, noisy scans) so the
-        # loop closure has real drift to correct
+        world = datasets.SyntheticWorld(extent=14.0, n_walls=20, n_boxes=14,
+                                        seed=4)
+        trans, rots = self._circle()
+        # sloppy odometry (few iterations, noisy scans) + scans capped at
+        # 9 m (< the 12 m circle diameter) so heading error compounds into
+        # accumulated drift instead of being absorbed by re-registration
         cfg = small_cfg(
             icp=cfg_mod.SteinICPConfig(
-                particle_count=8, iterations=6, knn_count=16, max_dist=2.8,
+                particle_count=8, iterations=4, knn_count=16, max_dist=2.8,
                 early_stop=False, source_capacity=1024, target_capacity=8192),
+            preprocess=cfg_mod.PreprocessConfig(min_range=1.0, max_range=9.0,
+                                                raw_capacity=8192),
             posegraph=cfg_mod.PoseGraphConfig(
                 enabled=enabled, keyframe_trans_threshold=0.3,
-                keyframe_rot_threshold=10.0, loop_radius=1.2,
-                loop_min_separation=8, loop_max_grad=0.05,
+                keyframe_rot_threshold=10.0, loop_radius=2.5,
+                loop_min_separation=20, loop_max_grad=0.05,
                 loop_particles=8, loop_iterations=40, reanchor=reanchor),
+            dtype="float64",
         )
         rng = np.random.default_rng(rng_seed)
-        pipe = pl.LIOPipeline(cfg)
-        for i in range(len(trans)):
-            pipe.feed_scan(float(i) * 0.1,
-                           world.scan_at(rng, rots[i], trans[i],
-                                         n_points=2500, noise=0.05))
+        with jax.enable_x64(True):
+            pipe = pl.LIOPipeline(cfg)
+            for i in range(len(trans)):
+                pipe.feed_scan(float(i) * 0.1,
+                               world.scan_at(rng, rots[i], trans[i],
+                                             n_points=2500, max_range=9.0,
+                                             noise=0.05))
         end_err = np.linalg.norm(
             np.asarray(pipe.outputs[-1].pose_t) - (trans[-1] - trans[0]))
         return pipe, end_err
@@ -171,9 +209,8 @@ class TestReanchor:
         assert len(pipe_ra.loop_closures) >= 1
         assert pipe_ra.reanchors >= 1
         # the loop closure changed the LIVE estimate and reduced the final
-        # drift of an identically-seeded odometry-only run
-        assert err_ra < err_odo, (err_ra, err_odo)
-        assert err_ra < 0.7 * err_odo, (err_ra, err_odo)
+        # drift of an identically-seeded odometry-only run by >= 2x
+        assert err_ra < 0.5 * err_odo, (err_ra, err_odo)
         # map and filter state moved coherently: later frames keep aligning
         assert all(bool(o.align_ok) for o in pipe_ra.outputs[1:])
 
