@@ -218,8 +218,8 @@ def reference_mini_pipeline(cfg: cfg_mod.PipelineConfig, scans, times,
     prev_r, prev_t = np.eye(3), np.zeros(3)
     pose_time = prev_time = 0.0
     traj = []
-    lb = np.asarray(icp.init_lb, np.float32)
-    ub = np.asarray(icp.init_ub, np.float32)
+    lb = np.asarray(icp.init_lb, cfg.np_dtype)
+    ub = np.asarray(icp.init_ub, cfg.np_dtype)
 
     for fi, (t_frame, scan) in enumerate(zip(times, scans)):
         # --- IMU window (samples with stamp <= frame stamp; stamps chosen to
@@ -264,10 +264,11 @@ def reference_mini_pipeline(cfg: cfg_mod.PipelineConfig, scans, times,
             continue
 
         # --- fresh particle prior, SAME jax PRNG stream as the pipeline
+        # (drawn at cfg.dtype: the f64 pipeline consumes the stream as f64)
         key, sub = jax.random.split(key)
         init = np.asarray(
             lb + (ub - lb) * np.asarray(jax.random.uniform(sub, (icp.particle_count, 6),
-                                                           jnp.float32))
+                                                           jnp.dtype(cfg.dtype)))
         ).astype(np.float64)
 
         # --- map query + stage-1 KNN (ref :576-581; radius covers the map)
@@ -395,6 +396,23 @@ class TestPipelineTranscript:
         ref = reference_mini_pipeline(cfg, scans, times,
                                       imu_stream=imu)
         assert_trajectories_agree(pipe, ref, atol_t=3e-3, atol_r=3e-3)
+
+    def test_float64_pipeline_parity(self):
+        """dtype float64 END TO END (the reference's precision,
+        SVGDICP.h:207): the same 5-frame loop with `cfg.dtype: float64`
+        under jax x64 must agree with the f64 numpy transcript to ~machine
+        precision — 3 orders of magnitude tighter than the f32 run's
+        tolerance — proving the dtype plumbing reaches every stage (upload,
+        preprocess, map, align, update) rather than silently casting back
+        to f32 anywhere. TPU caveat recorded in docs/PARITY.md: f64 on TPU
+        is emulated and slow; this option is for CPU verification runs and
+        precision-sensitive offline work."""
+        times, _, _, scans = make_sequence(seed=13)
+        cfg = transcript_cfg("icp", dtype="float64")
+        with jax.enable_x64(True):
+            pipe = run_pipeline(cfg, times, scans)
+            ref = reference_mini_pipeline(cfg, scans, times)
+        assert_trajectories_agree(pipe, ref, atol_t=1e-6, atol_r=1e-6)
 
     def test_transcript_tracks_ground_truth(self):
         """Sanity: the transcription itself is a working odometry (guards
