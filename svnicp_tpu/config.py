@@ -51,6 +51,16 @@ class SteinICPConfig:
     match_count: int = 0
     adaptive_prior: bool = False     # Gaussian re-seed from recent covariances
                                      # (ref variance_prediction, dead at :812-837)
+    # MAP prior term (no reference analogue; off = reference behavior): treat
+    # the per-frame re-seeded particle box as a Gaussian prior inside the
+    # Newton system (H += P^-1, b += P^-1 x with P = box variance). Along
+    # unobservable directions the pure-likelihood posterior is IMPROPER —
+    # particles diffuse without bound by jitter-amplified repulsion and the
+    # reported variance is an arbitrary function of the iteration count; with
+    # the prior term the spread converges to the prior variance instead (the
+    # honest "nothing learned beyond the prior"), which is also what a KF
+    # wants as a measurement covariance in degenerate scenes.
+    prior_information: bool = False
     use_pallas: bool = False         # fused Pallas 1-NN kernel (TPU only)
     pallas_fused_moments: bool = False  # also fuse H/b moment accumulation
                                      # into the kernel (correct but currently

@@ -132,11 +132,26 @@ def svgd_precond_grad(
     x_full: jax.Array,        # [P,6] all particles
     neg_newton_full: jax.Array,  # [P,6] -H^-1 b for all particles
     h_mean: jax.Array,        # [6,6] ensemble-mean Hessian (preconditioner)
+    kernel_scale: jax.Array | None = None,   # [6] per-dim kernel whitening
 ) -> jax.Array:
-    """Hessian-preconditioned SVGD transport rows (ref: SVNICP.cpp:218-227)."""
+    """Hessian-preconditioned SVGD transport rows (ref: SVNICP.cpp:218-227).
+
+    `kernel_scale` (set under cfg.prior_information) whitens the kernel
+    coordinates by the prior std — matrix-kernel SVGD with M = P^-1. The
+    reference's scalar median bandwidth is shared across all 6 dims, so
+    dims whose natural scale is tiny (rotations, ~1e-2 rad vs ~1e-1 m
+    translations) receive vanishing repulsion and collapse to a point once
+    a prior drive term exists; whitening makes repulsion uniform in
+    prior-relative units so the equilibrium spread tracks the prior in
+    EVERY unobservable dim."""
+    if kernel_scale is not None:
+        x_rows = x_rows / kernel_scale[None, :]
+        x_full = x_full / kernel_scale[None, :]
     bw = median_bandwidth(x_full)
     kernel, diff = rbf_kernel_block(x_rows, x_full, bw)
     grad_k = (2.0 / bw) * jnp.einsum("ijd,ij->id", diff, kernel)
+    if kernel_scale is not None:
+        grad_k = grad_k / kernel_scale[None, :]    # pull back d/dw -> d/dx
     repulsion = residuals.cholesky_solve6(h_mean, grad_k)     # H^-1 grad
     drive = jnp.matmul(kernel, neg_newton_full, precision=jax.lax.Precision.HIGHEST)
     return (drive + repulsion) / jnp.sum(kernel, axis=1, keepdims=True)
@@ -162,6 +177,33 @@ def svn_full_update(
         + jnp.sum(grad_k, axis=1)
     ) / p
     return lr * residuals.cholesky_solve6(h_bar, drive)
+
+
+def prior_kernel_scale(cfg: SteinICPConfig, dtype) -> jax.Array:
+    """Per-dim kernel whitening scale under cfg.prior_information: the
+    prior std of the particle box (see svgd_precond_grad)."""
+    lb = jnp.asarray(cfg.init_lb, dtype)
+    ub = jnp.asarray(cfg.init_ub, dtype)
+    return jnp.sqrt(jnp.maximum((ub - lb) ** 2 / 12.0, 1e-12))
+
+
+def add_prior_information(cfg: SteinICPConfig, hess: jax.Array, b: jax.Array,
+                          coords: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """MAP prior term (cfg.prior_information): the per-frame particle box as
+    a Gaussian prior N(0, P) in local [t, log R] coordinates around the
+    guess, P = box variance (ub-lb)^2/12. H += P^-1 and b += P^-1 x, so the
+    Newton direction -H^-1 b pulls particles toward the prior center and the
+    equilibrium spread along unobservable directions converges to the prior
+    variance instead of diffusing without bound (see config.py). No
+    reference analogue — the reference's prior enters only through particle
+    initialization."""
+    lb = jnp.asarray(cfg.init_lb, coords.dtype)
+    ub = jnp.asarray(cfg.init_ub, coords.dtype)
+    prior_var = jnp.maximum((ub - lb) ** 2 / 12.0, 1e-12)
+    inv = 1.0 / prior_var                                      # [6]
+    hess = hess + jnp.diag(inv)[None, :, :]
+    b = b + coords * inv[None, :]
+    return hess, b
 
 
 def clip_step(stein_grad: jax.Array, max_dist: float) -> jax.Array:
@@ -292,15 +334,19 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
                 source, transformed, matched, pair_valid, src_valid, r_total,
                 cfg.max_dist,
             )
-    newton = residuals.ensemble_solve(hess, b)                 # [P,6]
-
     coords = _particle_coords(state.r, state.t)
+    kernel_scale = None
+    if cfg.prior_information:
+        hess, b = add_prior_information(cfg, hess, b, coords)
+        kernel_scale = prior_kernel_scale(cfg, coords.dtype)
+    newton = residuals.ensemble_solve(hess, b)                 # [P,6]
     if p > 1:
         if cfg.svn_full_grad:
             stein_grad = svn_full_update(coords, coords, hess, -b, cfg.lr)
         else:
             h_mean = jnp.mean(hess, axis=0)
-            stein_grad = svgd_precond_grad(coords, coords, -newton, h_mean)
+            stein_grad = svgd_precond_grad(coords, coords, -newton, h_mean,
+                                           kernel_scale)
     else:
         stein_grad = -newton
     stein_grad = clip_step(stein_grad, cfg.max_dist)

@@ -129,9 +129,13 @@ def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_va
         6, dtype=hess.dtype
     )
     b = jax.lax.psum(b, POINT_AXIS)
-    newton = residuals.ensemble_solve(hess, b)
-
     coords = jnp.concatenate([t, geo.bso3_log(r)], axis=-1)     # [Pl,6]
+    kernel_scale = None
+    if cfg.prior_information:
+        # per-particle MAP prior, added once AFTER the point-shard psum
+        hess, b = svn.add_prior_information(cfg, hess, b, coords)
+        kernel_scale = svn.prior_kernel_scale(cfg, coords.dtype)
+    newton = residuals.ensemble_solve(hess, b)
     coords_full = jax.lax.all_gather(coords, PARTICLE_AXIS, tiled=True)
     if cfg.svn_full_grad:
         hess_full = jax.lax.all_gather(hess, PARTICLE_AXIS, tiled=True)
@@ -140,7 +144,8 @@ def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_va
     else:
         h_mean = jax.lax.pmean(jnp.mean(hess, axis=0), PARTICLE_AXIS)
         neg_newton_full = jax.lax.all_gather(-newton, PARTICLE_AXIS, tiled=True)
-        stein_grad = svn.svgd_precond_grad(coords, coords_full, neg_newton_full, h_mean)
+        stein_grad = svn.svgd_precond_grad(coords, coords_full, neg_newton_full,
+                                           h_mean, kernel_scale)
     stein_grad = svn.clip_step(stein_grad, cfg.max_dist)
 
     dt_, omega = stein_grad[:, :3], stein_grad[:, 3:]

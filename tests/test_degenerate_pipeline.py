@@ -59,6 +59,15 @@ def kf_cfg(equilibrium: bool = False, **over):
             particle_count=8, iterations=60 if equilibrium else 30, lr=1.0,
             max_dist=2.8, knn_count=16,
             residual="point_to_plane" if equilibrium else "point_to_point",
+            # MAP prior term: without it the pure-likelihood posterior is
+            # IMPROPER along null directions — particles random-walk at the
+            # clip limit and the "variance" is a chaotic function of the
+            # iteration count (measured x/z swinging 2.7-62x across codegen
+            # variants). With it the spread contracts to the prior variance
+            # along nulls, giving a stable, physically meaningful statistic:
+            # v_d/prior_var_d ~ 0.2-0.4 for unobservable dims, orders of
+            # magnitude below that for observable ones.
+            prior_information=equilibrium,
             early_stop=not equilibrium, convergence_threshold=5e-4,
             source_capacity=1024, target_capacity=16384,
         ),
@@ -104,6 +113,18 @@ def median_var(pipe):
     return np.median(v, axis=0)
 
 
+def prior_var():
+    """Variance of the per-frame particle prior box (SteinICPConfig
+    init_lb/ub defaults) — the natural unit for the equilibrium spread
+    under prior_information: an unobservable dim retains ~0.3-0.4 of the
+    prior variance (SVGD equilibrium of the prior-only posterior), an
+    observable one collapses orders of magnitude below it. Measured
+    invariant to CPU codegen (AVX2 vs AVX512 identical to <3%) and to the
+    scan seed — the statistic the round-2 raw-ratio assertions lacked."""
+    lb = np.array([-0.3, -0.2, -0.1, -0.004, -0.004, -0.012])
+    return (2 * np.abs(lb)) ** 2 / 12.0
+
+
 def errors(pipe, trans):
     est = np.stack([np.asarray(o.pose_t) for o in pipe.outputs])
     return est - (trans - trans[0])
@@ -113,15 +134,18 @@ class TestCorridor:
     """Two smooth walls + floor along x: x-translation unobservable."""
 
     def test_anisotropic_variance_and_containment(self):
-        # Under the plane residual the x-invariance is structural (kf_cfg
-        # docstring), so the unobservable axis dominates by ORDERS OF
-        # MAGNITUDE (measured x/max(y,z) = 257, x/z = 10541 at f64 —
-        # host-independent); thresholds keep >=8x margin.
+        # Prior-relative spread r = var/prior_var (see prior_var): measured
+        # r_x 0.38-0.41, r_y <= 0.012, r_yaw <= 2e-4 across ISA x seed;
+        # thresholds carry >= 2.5x margin. (z and roll sit at intermediate
+        # r — their likelihood strength is comparable to the reference's
+        # tight prior box, an honest MAP statement, so no claim on them.)
         pipe, _, _, trans = run_world(datasets.DegenerateWorld("corridor"),
                                       cfg=kf_cfg(equilibrium=True))
-        v = median_var(pipe)
-        assert v[0] > 30.0 * max(v[1], v[2]), f"var not x-dominant: {v}"
-        assert v[0] > 1000.0 * v[2], f"var not x-dominant over z: {v}"
+        r = median_var(pipe) / prior_var()
+        assert r[0] > 0.15, f"x did not retain prior spread: {r}"
+        assert r[1] < 0.05, f"y not constrained: {r}"
+        assert r[5] < 0.01, f"yaw not constrained: {r}"
+        assert r[0] > 10.0 * r[1], f"x not dominant over y: {r}"
         err = errors(pipe, trans)
         assert np.isfinite(err).all()
         # constrained dims held by ICP; unobservable x held only by the IMU
@@ -154,13 +178,15 @@ class TestTunnel:
     """Octagonal prism along x: x unobservable, cross-section constrained."""
 
     def test_anisotropic_variance_and_containment(self):
-        # measured x/max(y,z) = 35.6, x/z = 3855 at f64 (host-independent);
-        # thresholds keep >=3.5x margin
+        # measured r_x 0.40, r_y 4.5e-4, r_z 0.12-0.13 across ISA x seed
+        # (prior-relative spread, see prior_var); >= 2.5x margins
         pipe, _, _, trans = run_world(datasets.DegenerateWorld("tunnel"),
                                       cfg=kf_cfg(equilibrium=True))
-        v = median_var(pipe)
-        assert v[0] > 10.0 * max(v[1], v[2]), f"var not x-dominant: {v}"
-        assert v[0] > 400.0 * v[2], f"var not x-dominant over z: {v}"
+        r = median_var(pipe) / prior_var()
+        assert r[0] > 0.15, f"x did not retain prior spread: {r}"
+        assert r[1] < 0.01, f"y not constrained: {r}"
+        assert r[2] < 0.3, f"z not constrained: {r}"
+        assert r[0] > 50.0 * r[1], f"x not dominant over y: {r}"
         err = errors(pipe, trans)
         assert np.isfinite(err).all()
         assert np.abs(err[:, 1]).max() < 0.15
@@ -172,17 +198,19 @@ class TestPlane:
     """Bare ground plane: x, y and yaw unobservable; z, roll, pitch held."""
 
     def test_anisotropic_variance_and_containment(self):
-        # measured x/z = 62, y/z = 19, yaw/max(roll,pitch) = 549 at f64
-        # (host-independent); thresholds keep >=3x margin. z variance is
-        # large in ABSOLUTE terms here (particles that wander tens of
-        # metres along the null dims leave the finite floor extent and lose
-        # their z constraint too) — the claim is the ordering, not a scale.
+        # measured r_x = r_y = r_yaw = 0.39 (all three nulls at the prior
+        # spread), r_z 2.9e-5, r_pitch 3.1e-5 across ISA x seed. Roll is
+        # NOT asserted: the floor is narrow in y (+-12 m vs +-45 m of x
+        # extent), so the roll lever arm is ~4x shorter than pitch's and
+        # roll's likelihood is weaker than the reference's tight rotation
+        # prior box — it honestly reads prior-bound (r_roll ~ 0.32).
         pipe, _, _, trans = run_world(datasets.DegenerateWorld("plane"),
                                       cfg=kf_cfg(equilibrium=True))
-        v = median_var(pipe)
-        assert v[0] > 15.0 * v[2], f"x not dominant over z: {v}"
-        assert v[1] > 6.0 * v[2], f"y not dominant over z: {v}"
-        assert v[5] > 100.0 * max(v[3], v[4]), f"yaw not dominant: {v}"
+        r = median_var(pipe) / prior_var()
+        assert r[0] > 0.15 and r[1] > 0.15, f"x/y did not retain prior: {r}"
+        assert r[5] > 0.15, f"yaw did not retain prior: {r}"
+        assert r[2] < 1e-2, f"z not constrained: {r}"
+        assert r[4] < 1e-2, f"pitch not constrained: {r}"
         err = errors(pipe, trans)
         assert np.isfinite(err).all()
         assert np.abs(err[:, 2]).max() < 0.15   # z held by the plane
