@@ -50,7 +50,7 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
           candidate_method: str = "bucketed", iterations: int = 100,
           early_stop: bool = True, residual: str = "point_to_point",
           batch: int = 1, host_ds: bool = True, segmentation: bool = False,
-          icp_method: str = "svn"):
+          icp_method: str = "svn", insert_every: int = 1):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
@@ -81,7 +81,8 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
             candidate_method=candidate_method, residual=residual,
         ),
         map=cfg_mod.MapConfig(voxel_size=1.0, max_points_per_voxel=20,
-                              max_range=300.0, capacity=131072),
+                              max_range=300.0, capacity=131072,
+                              insert_every=insert_every),
         preprocess=cfg_mod.PreprocessConfig(
             min_range=2.0, max_range=80.0, voxel_size=1.0,
             # segmentation mode: the REAL HDL-64 range-image shape (64x2250,
@@ -114,12 +115,14 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
 def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = False,
         candidate_method: str = "bucketed", iterations: int = 100,
         early_stop: bool = True, residual: str = "point_to_point",
-        batch: int = 1, segmentation: bool = False, icp_method: str = "svn"):
+        batch: int = 1, segmentation: bool = False, icp_method: str = "svn",
+        insert_every: int = 1):
     import jax
 
     pipe, times, scans = build(n_frames, particles, use_pallas, candidate_method,
                                iterations, early_stop, residual, batch,
-                               segmentation=segmentation, icp_method=icp_method)
+                               segmentation=segmentation, icp_method=icp_method,
+                               insert_every=insert_every)
     import numpy as _np
 
     # warmup (compile + first-frame bootstrap; flush drains batched mode)
@@ -167,6 +170,10 @@ def main():
                     help="ICP residual model; point_to_plane is the default "
                          "operating point (better ATE and fps, BASELINE.md); "
                          "point_to_point is the reference-parity row")
+    ap.add_argument("--insert-every", type=int, default=1,
+                    help="map insert cadence: off-cadence frames dispatch a "
+                         "no-insert step specialization (the map-merge sorts "
+                         "are skipped on device entirely)")
     ap.add_argument("--icp-method", default="svn",
                     choices=["svn", "svgd", "svd"],
                     help="algorithm family: svn (Gauss-Newton + Stein, the "
@@ -193,9 +200,11 @@ def main():
         print(json.dumps(rec))
         return
 
-    # warmup must compile BOTH programs: the bootstrap/per-frame step and
-    # (batch>1) the scan-of-steps program — so it spans 1 + 2*batch frames
-    warmup = 3 if args.batch <= 1 else 1 + 2 * args.batch
+    # warmup must compile EVERY program: the bootstrap/per-frame step,
+    # (batch>1) the scan-of-steps program, and (insert_every>1) both the
+    # insert and no-insert specializations — the first on-cadence frame is
+    # frame insert_every, so warmup spans past it
+    warmup = max(3, args.insert_every + 1) if args.batch <= 1 else 1 + 2 * args.batch
     # timed frame count must be a batch multiple: a partial-batch flush would
     # dispatch (and first-compile) the per-frame program inside the timed
     # window
@@ -207,7 +216,8 @@ def main():
               candidate_method=args.method, iterations=args.iters,
               particles=args.particles, early_stop=not args.no_early_stop,
               residual=args.residual, batch=args.batch,
-              segmentation=args.segmentation, icp_method=args.icp_method)
+              segmentation=args.segmentation, icp_method=args.icp_method,
+              insert_every=args.insert_every)
     metric = "lidar_frames_per_sec_per_chip_64_particles"
     if args.segmentation:
         metric += "_segmentation"

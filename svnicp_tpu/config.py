@@ -118,7 +118,11 @@ class MapConfig:
     capacity: int = 262144           # fixed device table size (points)
     insert_every: int = 1            # insert scans into the map every Nth
                                      # frame (1 = reference behavior; >1
-                                     # trades map freshness for throughput)
+                                     # trades map freshness for throughput —
+                                     # off-cadence per-frame dispatches run a
+                                     # dedicated no-insert program, skipping
+                                     # the map-merge sorts on device; see
+                                     # LIOPipeline._skip_insert)
     # BASELINE config-5 operating mode: partition the map into key-range
     # blocks over the mesh point axis (parallel/voxmap_sharded). The live
     # odometry step then inserts into / queries the DISTRIBUTED map (ring

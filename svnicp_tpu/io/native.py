@@ -21,8 +21,14 @@ if not os.path.exists(_LIB_PATH):
         import subprocess
 
         try:
-            subprocess.run(["make", "-C", _make_dir], check=True,
-                           capture_output=True, timeout=120)
+            # serialize concurrent first-import builds (pytest-xdist spawns
+            # several workers; two make processes writing the .so race)
+            import fcntl
+
+            with open(os.path.join(_make_dir, ".buildlock"), "w") as _lk:
+                fcntl.flock(_lk, fcntl.LOCK_EX)
+                subprocess.run(["make", "-C", _make_dir], check=True,
+                               capture_output=True, timeout=120)
         except Exception:
             pass
 if os.path.exists(_LIB_PATH):

@@ -275,7 +275,7 @@ def _bootstrap_impl(cfg: PipelineConfig, state: OdometryState, frame: FrameInput
 
 def _odometry_step_impl(
     cfg: PipelineConfig, state: OdometryState, frame: FrameInput, mesh=None,
-    pre: tuple | None = None,
+    pre: tuple | None = None, skip_insert: bool = False,
 ) -> tuple[OdometryState, FrameOutput]:
     """One LiDAR frame through the full pipeline (SURVEY.md §3.3).
 
@@ -466,8 +466,17 @@ def _odometry_step_impl(
         var_rw = eskf_mod.random_walk_variance(ekf)
 
     # --- map update (finer cloud, ref :630); optionally decimated in time;
-    # skipped entirely when alignment failed (pose would be the raw guess)
-    if cfg.map.insert_every > 1:
+    # skipped entirely when alignment failed (pose would be the raw guess).
+    # skip_insert is a STATIC specialization chosen by the host cadence
+    # (LIOPipeline dispatches a no-insert program on off-cadence frames, so
+    # the map-merge sorts are skipped entirely — a lax.cond would pay its
+    # ~0.3 ms branch overhead every frame and block fusion); the traced
+    # frame_idx predicate below remains for the lax.scan batch path, where
+    # the per-frame decision must live in-graph.
+    if skip_insert:
+        new_map = state.vmap
+        dropped = jnp.zeros((), jnp.int32)
+    elif cfg.map.insert_every > 1:
         do_insert = align_ok & (state.frame_idx % cfg.map.insert_every == 0)
         inserted, dropped_i = _map_insert(cfg, state, to_map, pose_r, pose_t, mesh)
         new_map = jax.tree.map(
@@ -541,7 +550,7 @@ def _unpack_frame(cfg: PipelineConfig, scan_buf: jax.Array, imu_buf: jax.Array,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1,))
 def bootstrap_packed(cfg: PipelineConfig, state: OdometryState,
                      scan_buf: jax.Array, imu_buf: jax.Array, meta: jax.Array,
                      mesh=None):
@@ -549,24 +558,37 @@ def bootstrap_packed(cfg: PipelineConfig, state: OdometryState,
                            _unpack_frame(cfg, scan_buf, imu_buf, meta), mesh=mesh)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "skip_insert"), donate_argnums=(1,))
 def odometry_step_packed(cfg: PipelineConfig, state: OdometryState,
                          scan_buf: jax.Array, imu_buf: jax.Array, meta: jax.Array,
-                         mesh=None):
+                         mesh=None, skip_insert: bool = False):
     """`odometry_step` over packed buffers: the host driver ships THREE
     arrays per frame instead of the 8-leaf FrameInput pytree. Each jit
     argument is a separate host->device transfer, and on a remote-tunnel
     device every transfer pays dispatch latency — packing recovers most of
-    the ~9 ms/frame the 8 transfers cost at bench shapes."""
+    the ~9 ms/frame the 8 transfers cost at bench shapes.
+
+    skip_insert selects the no-map-insert specialization (host insert
+    cadence, map.insert_every — see _odometry_step_impl).
+
+    donate_argnums=(1,): the state is consumed linearly by the host driver
+    (self.state is always reassigned from the return), so donating it lets
+    XLA alias unchanged state leaves input->output instead of copying them.
+    A device trace showed those pass-through copies (pose, smoother rings,
+    ESKF gain/cov — tiny arrays) costing 3.1 ms/frame, 41% of device time,
+    on the remote-tunnel backend. Do NOT call these *_packed entry points
+    twice with the same state object (tests use odometry_step, which does
+    not donate)."""
     return _odometry_step_impl(cfg, state,
                                _unpack_frame(cfg, scan_buf, imu_buf, meta),
-                               mesh=mesh)
+                               mesh=mesh, skip_insert=skip_insert)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "skip_insert"), donate_argnums=(1,))
 def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
                              ds_buf: jax.Array, imu_buf: jax.Array,
-                             meta: jax.Array, mesh=None):
+                             meta: jax.Array, mesh=None,
+                             skip_insert: bool = False):
     """`odometry_step` over a HOST-preprocessed cloud: ds_buf [2*src_cap,3]
     = the stage-A (0.5*voxel) to_map rows (zero-padded), meta [4] f64 =
     (stamp, n_map, n_imu, n_imu_dropped). The stage-B source cloud is DERIVED on device
@@ -618,10 +640,11 @@ def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
         imu_valid=jnp.arange(w, dtype=jnp.int32) < n_imu,
         imu_dropped=meta[3].astype(jnp.int32),
     )
-    return _odometry_step_impl(cfg, state, frame, mesh=mesh, pre=(to_map, source))
+    return _odometry_step_impl(cfg, state, frame, mesh=mesh,
+                               pre=(to_map, source), skip_insert=skip_insert)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1,))
 def odometry_steps_packed(cfg: PipelineConfig, state: OdometryState,
                           scan_bufs: jax.Array, imu_bufs: jax.Array,
                           metas: jax.Array, mesh=None):
@@ -805,7 +828,8 @@ class LIOPipeline:
     def _pack_frame(self, t: float, points: np.ndarray, timestamps):
         """Stage one frame into the packed host buffers shipped to the
         device: scan_buf [cap,4] (xyz + per-point time), imu_buf [W,7]
-        (dt + acc + gyro), meta [3] f64 (stamp, n_points, n_imu). Both
+        (dt + acc + gyro), meta [4] f64 (stamp, n_points, n_imu,
+        n_imu_dropped). Both
         staging paths produce prefix-valid rows, so validity travels as the
         counts in `meta` instead of two boolean arrays."""
         cap = self.cfg.preprocess.raw_capacity
@@ -976,9 +1000,19 @@ class LIOPipeline:
             return self._flush_batch()
         step = odometry_step_packed_pre if host_ds else odometry_step_packed
         with self.timer.span("dispatch"):
-            self.state, out = step(self.cfg, self.state, *bufs, mesh=self.mesh)
+            self.state, out = step(self.cfg, self.state, *bufs, mesh=self.mesh,
+                                   skip_insert=self._skip_insert(self._frames))
         self._record_frame(t, out, points)
         return out
+
+    def _skip_insert(self, frame_idx: int) -> bool:
+        """Host insert cadence (map.insert_every): off-cadence frames
+        dispatch the no-insert step specialization, skipping the map-merge
+        sorts on device entirely. frame_idx mirrors the device
+        state.frame_idx (both count processed frames incl. bootstrap), so
+        this matches the in-graph predicate the batch path uses."""
+        n = self.cfg.map.insert_every
+        return n > 1 and frame_idx % n != 0
 
     def _feed_scan_ahead(self, t: float, points: np.ndarray,
                         timestamps=None) -> FrameOutput | None:
@@ -995,9 +1029,10 @@ class LIOPipeline:
                 max_workers=1, thread_name_prefix="svnicp-stage")
         imu_buf, n_imu, n_drop = self._pack_imu(t)
         fut = self._stage_pool.submit(self._timed_stage_pre, points, timestamps)
-        self._frames += 1
+        idx = self._frames            # this frame's device frame_idx,
+        self._frames += 1             # captured before the increment
         self._last_frame_time = t
-        self._pending.append((t, imu_buf, n_imu, n_drop, fut))
+        self._pending.append((t, imu_buf, n_imu, n_drop, fut, idx))
         if len(self._pending) > 1:
             return self._dispatch_pending()
         return None
@@ -1011,12 +1046,13 @@ class LIOPipeline:
         return out, time.perf_counter() - t0
 
     def _dispatch_pending(self) -> FrameOutput:
-        t0, imu_buf, n_imu, n_drop, fut = self._pending.pop(0)
+        t0, imu_buf, n_imu, n_drop, fut, idx = self._pending.pop(0)
         (ds_buf, n_map), pre_dt = fut.result()
         meta = np.array([t0, n_map, n_imu, n_drop], np.float64)
         with self.timer.span("dispatch"):
             self.state, out = odometry_step_packed_pre(
-                self.cfg, self.state, ds_buf, imu_buf, meta, mesh=self.mesh)
+                self.cfg, self.state, ds_buf, imu_buf, meta, mesh=self.mesh,
+                skip_insert=self._skip_insert(idx))
         self.outputs.append(out)
         self.times.append(t0)
         self.frame_timings.append({

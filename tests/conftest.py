@@ -22,7 +22,33 @@ if "xla_force_host_platform_device_count" not in flags:
 # stable; test runtimes are not measurably different at suite shapes.
 if "xla_cpu_max_isa" not in flags:
     flags += " --xla_cpu_max_isa=AVX2"
+# ... and serialize XLA:CPU codegen: even at AVX2 the suite has segfaulted
+# inside backend_compile_and_load on a *trivial* program (jax.random.normal)
+# after ~200 green tests — the signature of a concurrency bug in the
+# parallel LLVM ORC JIT (XLA:CPU splits each module across a thread pool by
+# default), not of any particular program. One compile thread is slower but
+# has never crashed; suite wall time on a 2-core CI host is dominated by the
+# big pipeline compiles either way.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags += " --xla_cpu_parallel_codegen_split_count=1"
 os.environ["XLA_FLAGS"] = flags
+
+# Raise the stack soft-limit toward the hard limit (default soft 8 MiB):
+# deep LLVM/XLA compile recursion is one plausible source of the late-run
+# compile crashes; on Linux the main-thread stack grows up to the soft
+# rlimit, so raising it at process start is effective and free.
+import resource  # noqa: E402
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 << 20
+if _soft != resource.RLIM_INFINITY and (_hard == resource.RLIM_INFINITY or _hard > _soft):
+    try:
+        resource.setrlimit(
+            resource.RLIMIT_STACK,
+            (_want if _hard == resource.RLIM_INFINITY else min(_want, _hard),
+             _hard))
+    except (ValueError, OSError):
+        pass
 
 import jax  # noqa: E402
 

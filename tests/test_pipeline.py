@@ -137,6 +137,36 @@ class TestLongRunStability:
         pipe, gt = run_sequence(cfg, world, n_frames=12)
         ate = metrics.ate_rmse(pipe.trajectory(), gt, align="first")
         assert ate < 0.2, f"decimated-insert ATE {ate}"
+        # off-cadence frames must not touch the map: the dedicated
+        # no-insert specialization leaves the point count frozen
+        counts = [int(o.map_points) for o in pipe.outputs]
+        for i in range(1, len(counts), 2):   # odd device frame_idx = skipped
+            assert counts[i] == counts[i - 1], (i, counts)
+
+    def test_insert_cadence_skip_matches_batched(self, world):
+        """The host-cadence no-insert specialization (per-frame dispatch)
+        and the in-graph frame_idx predicate (the lax.scan batch path) are
+        two implementations of the same map.insert_every semantics — their
+        trajectories must agree."""
+        cfg1 = small_cfg(map=cfg_mod.MapConfig(
+            voxel_size=1.0, max_points_per_voxel=10, max_range=120.0,
+            capacity=32768, insert_every=3))
+        pipe1, _ = run_sequence(cfg1, world, n_frames=8)
+        cfg3 = dataclasses.replace(cfg1, dispatch_batch=4)
+        pipe3 = pl.LIOPipeline(cfg3)
+        times, rots, trans = datasets.synthetic_trajectory(8, dt=0.1, speed=1.2, seed=5)
+        rng2 = np.random.default_rng(5)
+        for i in range(8):
+            scan = world.scan_at(rng2, rots[i], trans[i], n_points=4000, noise=0.01)
+            pipe3.feed_scan(float(times[i]), scan)
+        pipe3.flush()
+        assert len(pipe3.outputs) == len(pipe1.outputs) == 8
+        np.testing.assert_allclose(pipe3.trajectory(), pipe1.trajectory(),
+                                   rtol=1e-5, atol=1e-5)
+        # and the skip pattern itself must match (map point counts agree)
+        c1 = [int(o.map_points) for o in pipe1.outputs]
+        c3 = [int(o.map_points) for o in pipe3.outputs]
+        assert c1 == c3
 
 
 class TestThreadedIngest:

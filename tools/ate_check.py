@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--method", default="bucketed")
     ap.add_argument("--residual", default="point_to_plane")
     ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--insert-every", type=int, default=1)
     args = ap.parse_args()
 
     import numpy as np
@@ -29,7 +30,8 @@ def main():
 
     pipe, times, scans = bench.build(
         args.frames, particles=64, use_pallas=True,
-        candidate_method=args.method, residual=args.residual)
+        candidate_method=args.method, residual=args.residual,
+        insert_every=args.insert_every)
     _, rots, trans = datasets.synthetic_trajectory(
         args.frames, dt=0.1, speed=2.0, seed=7)
     for i in range(args.frames):
