@@ -257,26 +257,32 @@ void svn_downsample_two_stage(const float* xyz, int n, float voxel,
 // Timestamps are min-max normalized to [0,1] (ref: deskew :414-423);
 // returns 0 if degenerate (all equal — caller skips deskewing, ref :418).
 // ---------------------------------------------------------------------------
+static inline double svn_ts_read(const uint8_t* p, int dtype_code) {
+  switch (dtype_code) {
+    case 0: { float f; std::memcpy(&f, p, 4); return f; }
+    case 1: { double d; std::memcpy(&d, p, 8); return d; }
+    default: { uint32_t u; std::memcpy(&u, p, 4); return u; }
+  }
+}
+
 int svn_extract_timestamps(const uint8_t* data, int n, int stride, int offset,
                            int dtype_code, float* out) {
+  if (dtype_code < 0 || dtype_code > 2) return -1;
   double mn = 1e300, mx = -1e300;
   for (int i = 0; i < n; ++i) {
-    const uint8_t* p = data + (size_t)i * stride + offset;
-    double v = 0;
-    switch (dtype_code) {
-      case 0: { float f; std::memcpy(&f, p, 4); v = f; break; }
-      case 1: { double d; std::memcpy(&d, p, 8); v = d; break; }
-      case 2: { uint32_t u; std::memcpy(&u, p, 4); v = u; break; }
-      default: return -1;
-    }
-    out[i] = (float)v;
+    const double v = svn_ts_read(data + (size_t)i * stride + offset, dtype_code);
     if (v < mn) mn = v;
     if (v > mx) mx = v;
   }
   if (!(mx > mn)) return 0;
-  const float inv = (float)(1.0 / (mx - mn));
-  const float fmn = (float)mn;
-  for (int i = 0; i < n; ++i) out[i] = (out[i] - fmn) * inv;
+  // normalize in DOUBLE before the f32 narrowing: absolute sensor stamps
+  // (epoch seconds ~1e9 as f64) lose the entire intra-sweep range if cast
+  // to f32 first (float32 has ~7 digits; 1e9 + 0.05 == 1e9f)
+  const double inv = 1.0 / (mx - mn);
+  for (int i = 0; i < n; ++i) {
+    const double v = svn_ts_read(data + (size_t)i * stride + offset, dtype_code);
+    out[i] = (float)((v - mn) * inv);
+  }
   return 1;
 }
 

@@ -170,6 +170,67 @@ def cmd_kitti(args):
         _run_stream(cfg, stream, None, writer, gt)
 
 
+def cmd_stream(args):
+    """Play a recorded SVNL sensor stream (io/stream.py) through the live
+    pipeline — the offline equivalent of the reference's ROS subscribers
+    (ref: OdometryPipeline.cpp:307-354)."""
+    import numpy as np
+
+    from svnicp_tpu.io import metrics, records
+    from svnicp_tpu.io import stream as stream_mod
+    from svnicp_tpu.runtime import pipeline as pl
+
+    cfg = _load_config(args.config)
+    pipe = pl.LIOPipeline(cfg)
+    writer, ctx = _open_writer(args.output)
+    t0 = time.perf_counter()
+    with ctx, open(args.log, "rb") as f:
+        if writer is not None:
+            writer.write(records.ParametersRecord.from_config(cfg))
+
+        def progress(n, stamp):
+            if n % 20 == 0:
+                print(f"[svnicp] stream frame {n} @ {stamp:.2f}s",
+                      file=sys.stderr)
+
+        n = stream_mod.play(pipe, f, progress=progress)
+        wall = time.perf_counter() - t0
+        if writer is not None:
+            kf_mode = cfg.lio.estimator == "kf"
+            for t_out, out, timing in zip(pipe.times, pipe.outputs,
+                                          pipe.frame_timings):
+                writer.write(records.RuntimeRecord(
+                    stamp=t_out,
+                    preprocessing_time=timing["preprocessing_time"],
+                    steinicp_time=timing["steinicp_time"],
+                    finish_iter=int(out.icp_iterations)))
+                writer.write_all(records.frame_records(
+                    t_out, out, include_kf_gain=kf_mode))
+    est = pipe.trajectory()
+    summary = {"frames": n, "wall_seconds": round(wall, 3),
+               "frames_per_sec": round(n / max(wall, 1e-9), 3)}
+    if args.gt:
+        gt = np.load(args.gt)
+        if len(gt) == len(est):
+            summary["ate_rmse_m"] = round(metrics.ate_rmse(est, gt), 4)
+    print(json.dumps(summary))
+
+
+def cmd_record(args):
+    """Generate a synthetic SVNL log (+ ground-truth poses .npy) — a data
+    source for `stream` without real sensors."""
+    import numpy as np
+
+    from svnicp_tpu.io import stream as stream_mod
+
+    gt = stream_mod.record_synthetic(
+        args.log, n_frames=args.frames, seed=args.seed,
+        n_points=args.points)
+    if args.gt:
+        np.save(args.gt, gt)
+    print(json.dumps({"log": args.log, "frames": args.frames}))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="svnicp_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -195,6 +256,21 @@ def main(argv=None):
                    help="apply the 0.205 deg vertical fix + azimuth timestamps")
     k.add_argument("--output", default=None)
     k.set_defaults(fn=cmd_kitti)
+
+    s = sub.add_parser("stream", help="play a recorded SVNL sensor stream")
+    s.add_argument("--log", required=True, help="SVNL packet log path")
+    s.add_argument("--config", default=None)
+    s.add_argument("--gt", default=None, help="[N,4,4] poses .npy for ATE")
+    s.add_argument("--output", default=None, help="JSONL record stream path")
+    s.set_defaults(fn=cmd_stream)
+
+    r = sub.add_parser("record", help="write a synthetic SVNL stream")
+    r.add_argument("--log", required=True)
+    r.add_argument("--frames", type=int, default=20)
+    r.add_argument("--points", type=int, default=4000)
+    r.add_argument("--seed", type=int, default=5)
+    r.add_argument("--gt", default=None, help="write ground-truth poses .npy")
+    r.set_defaults(fn=cmd_record)
 
     args = ap.parse_args(argv)
     args.fn(args)
