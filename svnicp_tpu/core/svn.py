@@ -334,6 +334,29 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
                 source, transformed, matched, pair_valid, src_valid, r_total,
                 cfg.max_dist,
             )
+    if (pallas_prep is not None and p > 1 and not cfg.svn_full_grad
+            and state.r.dtype == jnp.float32):
+        # fused ensemble update: solve + Stein coupling + pose update in ONE
+        # Pallas program (kernels/stein_pallas.py) — the same math as the
+        # XLA path below, whose ~hundred small while-body ops cost more in
+        # op overhead than the fused correspondence kernel itself
+        from svnicp_tpu.kernels import stein_pallas
+
+        prior = None
+        if cfg.prior_information:
+            lb = jnp.asarray(cfg.init_lb, jnp.float32)
+            ub = jnp.asarray(cfg.init_ub, jnp.float32)
+            prior = jnp.stack([
+                1.0 / jnp.maximum((ub - lb) ** 2 / 12.0, 1e-12),
+                prior_kernel_scale(cfg, jnp.float32),
+            ])
+        r_new, t_new, grad_norm, mean_delta = stein_pallas.stein_update(
+            hess, b, state.r, state.t, prior, max_dist=cfg.max_dist,
+            use_prior=cfg.prior_information)
+        stop_stat = (mean_delta if cfg.convergence_metric == "mean_delta"
+                     else grad_norm)
+        return r_new, t_new, grad_norm, stop_stat
+
     coords = _particle_coords(state.r, state.t)
     kernel_scale = None
     if cfg.prior_information:
