@@ -62,6 +62,11 @@ class SteinICPConfig:
     # wants as a measurement covariance in degenerate scenes.
     prior_information: bool = False
     use_pallas: bool = False         # fused Pallas 1-NN kernel (TPU only)
+    # fused ensemble-update Pallas kernel (solve + Stein coupling + pose
+    # update in one program, kernels/stein_pallas.py). Only active where it
+    # applies anyway (use_pallas, P>1, f32, not svn_full_grad); the gate
+    # exists for back-to-back A/B measurement (bench.py --no-stein-kernel).
+    stein_kernel: bool = True
     pallas_fused_moments: bool = False  # also fuse H/b moment accumulation
                                      # into the kernel (correct but currently
                                      # slower than 1-NN kernel + XLA moments)
@@ -260,9 +265,10 @@ class PoseGraphConfig:
     # apply the optimized correction back to the LIVE estimate: after each
     # optimization the last keyframe's delta rigidly moves the pose history,
     # the ESKF nav state and the voxel map, so loop closures correct future
-    # odometry instead of only the side trajectory. Not supported together
-    # with map.sharded (the rigid move changes voxel keys and hence block
-    # ownership).
+    # odometry instead of only the side trajectory. Composes with
+    # map.sharded: the distributed move re-keys per block and migrates rows
+    # to their new owners over the rebalance ring pass
+    # (voxmap_sharded.sharded_reanchor).
     reanchor: bool = False
 
 
@@ -311,10 +317,6 @@ class PipelineConfig:
             raise ValueError(
                 "save_particles records the per-iteration particle stack of "
                 f"the 'svn' method; got method={self.icp.method!r}")
-        if self.posegraph.reanchor and self.map.sharded:
-            raise ValueError(
-                "posegraph.reanchor rigidly moves the voxel map (keys change) "
-                "and is not supported with map.sharded")
 
     @property
     def np_dtype(self):

@@ -105,6 +105,68 @@ def sharded_insert(
     return vm.VoxelMap(pts, key, valid), dropped
 
 
+def _ring_redistribute(points_l, key_l, valid_l, splits, me, n_shards):
+    """One full ring ``ppermute`` pass moving rows to the shard that owns
+    their key under ``splits``: each shard keeps an accumulator of its local
+    capacity, absorbing the rows it owns from every visiting block
+    (hash-ordered truncation on overflow, same policy as `voxmap.insert`).
+    Shared by `rebalance` (ownership changed because the boundaries moved)
+    and `sharded_reanchor` (ownership changed because the keys moved).
+
+    Row order is made layout-independent by carrying each row's *global
+    pre-pass rank* (shard * capacity + local row) and sorting the result by
+    (key, rank): block-local tables are key-sorted under the ownership
+    invariant, so concatenating blocks in shard order IS the replicated
+    table's row order — and within-voxel order (which the per-voxel cap's
+    first-point semantics depend on) therefore matches the replicated
+    path's stable sort even when a reanchor merges rows from several shards
+    into one voxel (ring arrival order alone does not).
+
+    Returns (points, key, valid, dropped) for the local shard; the result
+    table is (key, origin-rank)-sorted with valid rows first.
+    """
+    cl = key_l.shape[0]
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    rank_l = me * cl + jnp.arange(cl, dtype=jnp.int32)
+
+    def step(carry, _):
+        pts, key, valid, rank, acc_pts, acc_key, acc_valid, acc_rank, dropped = carry
+        mine = valid & (owner_of(key, splits) == me)
+        cat_key = jnp.concatenate([acc_key, jnp.where(mine, key, INVALID_KEY)])
+        cat_pts = jnp.concatenate([acc_pts, pts])
+        cat_valid = jnp.concatenate([acc_valid, mine])
+        cat_rank = jnp.concatenate([acc_rank, rank])
+        kept_total = jnp.sum(cat_valid)
+        korder = compaction_order(cat_valid, cat_key)[:cl]
+        k_keep = cat_valid[korder]
+        k_key = jnp.where(k_keep, cat_key[korder], INVALID_KEY)
+        k_pts = jnp.where(k_keep[:, None], cat_pts[korder], 0.0)
+        k_rank = cat_rank[korder]
+        s_key, s_rank, sx, sy, sz = jax.lax.sort(
+            (k_key, k_rank, k_pts[:, 0], k_pts[:, 1], k_pts[:, 2]),
+            num_keys=2, is_stable=True)
+        s_pts = jnp.stack([sx, sy, sz], axis=-1)
+        s_keep = s_key != INVALID_KEY
+        # int32 explicitly: under jax x64 the bool-sum promotes to int64
+        # and would break the scan carry's dtype invariance
+        dropped += jnp.maximum(kept_total - cl, 0).astype(jnp.int32)
+        pts = jax.lax.ppermute(pts, sharding.POINT_AXIS, perm)
+        key = jax.lax.ppermute(key, sharding.POINT_AXIS, perm)
+        valid = jax.lax.ppermute(valid, sharding.POINT_AXIS, perm)
+        rank = jax.lax.ppermute(rank, sharding.POINT_AXIS, perm)
+        return (pts, key, valid, rank,
+                s_pts, s_key, s_keep, s_rank, dropped), None
+
+    acc0 = (points_l, key_l, valid_l, rank_l,
+            jnp.zeros_like(points_l), jnp.full_like(key_l, INVALID_KEY),
+            jnp.zeros_like(valid_l), jnp.zeros_like(key_l),
+            jnp.zeros((), jnp.int32))
+    (_, _, _, _, acc_pts, acc_key, acc_valid, _, dropped), _ = jax.lax.scan(
+        step, acc0, None, length=n_shards
+    )
+    return acc_pts, acc_key, acc_valid, dropped
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "sample_per_shard",
                                              "imbalance_threshold"))
 def rebalance(
@@ -163,35 +225,8 @@ def rebalance(
         new_splits = jnp.where(need, new_splits, splits)
 
         # --- ring redistribution under the (possibly new) boundaries
-        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-
-        def step(carry, _):
-            pts, key, valid, acc_pts, acc_key, acc_valid, dropped = carry
-            mine = valid & (owner_of(key, new_splits) == me)
-            cat_key = jnp.concatenate([acc_key, jnp.where(mine, key, INVALID_KEY)])
-            cat_pts = jnp.concatenate([acc_pts, pts])
-            cat_valid = jnp.concatenate([acc_valid, mine])
-            kept_total = jnp.sum(cat_valid)
-            korder = compaction_order(cat_valid, cat_key)[:cl]
-            k_keep = cat_valid[korder]
-            k_key = jnp.where(k_keep, cat_key[korder], INVALID_KEY)
-            k_pts = jnp.where(k_keep[:, None], cat_pts[korder], 0.0)
-            final = jnp.argsort(k_key, stable=True)
-            # int32 explicitly: under jax x64 the bool-sum promotes to int64
-            # and would break the scan carry's dtype invariance
-            dropped += jnp.maximum(kept_total - cl, 0).astype(jnp.int32)
-            pts = jax.lax.ppermute(pts, sharding.POINT_AXIS, perm)
-            key = jax.lax.ppermute(key, sharding.POINT_AXIS, perm)
-            valid = jax.lax.ppermute(valid, sharding.POINT_AXIS, perm)
-            return (pts, key, valid,
-                    k_pts[final], k_key[final], k_keep[final], dropped), None
-
-        acc0 = (points_l, key_l, valid_l,
-                jnp.zeros_like(points_l), jnp.full_like(key_l, INVALID_KEY),
-                jnp.zeros_like(valid_l), jnp.zeros((), jnp.int32))
-        (_, _, _, acc_pts, acc_key, acc_valid, dropped), _ = jax.lax.scan(
-            step, acc0, None, length=n_shards
-        )
+        acc_pts, acc_key, acc_valid, dropped = _ring_redistribute(
+            points_l, key_l, valid_l, new_splits, me, n_shards)
         return (acc_pts, acc_key, acc_valid, new_splits,
                 jax.lax.psum(dropped, sharding.POINT_AXIS))
 
@@ -205,6 +240,48 @@ def rebalance(
         check_vma=False,
     )(vmap_global.points, vmap_global.key, vmap_global.valid, split_keys)
     return vm.VoxelMap(pts, key, valid), new_splits, dropped
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "voxel_size"))
+def sharded_reanchor(
+    mesh: Mesh,
+    vmap_global: vm.VoxelMap,   # sharded over the point axis (key-range blocks)
+    split_keys: jax.Array,      # [S-1] boundaries (replicated, unchanged)
+    delta_r: jax.Array, delta_t: jax.Array,
+    voxel_size: float,
+) -> tuple[vm.VoxelMap, jax.Array]:
+    """Rigid world-frame move of the *sharded* voxel map (pose-graph
+    re-anchor, the distributed counterpart of `_reanchor_state`'s map move):
+    each shard transforms its resident points, recomputes their packed keys,
+    and the rows whose new key falls outside the shard's range migrate to
+    their owner via the same ring ``ppermute`` pass `rebalance` uses. The
+    key boundaries stay fixed — ownership changes because the KEYS moved,
+    and a subsequent `rebalance` call re-levels occupancy if the move skewed
+    it. Returns (new map, dropped row count).
+    """
+    n_shards = mesh.shape[sharding.POINT_AXIS]
+
+    def body(points_l, key_l, valid_l, splits, dr, dt):
+        me = jax.lax.axis_index(sharding.POINT_AXIS)
+        pts = points_l @ dr.T + dt[None, :]
+        key = jnp.where(valid_l, voxel_key(pts, voxel_size), INVALID_KEY)
+        pts = jnp.where(valid_l[:, None], pts, 0.0)
+        acc_pts, acc_key, acc_valid, dropped = _ring_redistribute(
+            pts, key, valid_l, splits, me, n_shards)
+        return (acc_pts, acc_key, acc_valid,
+                jax.lax.psum(dropped, sharding.POINT_AXIS))
+
+    pts, key, valid, dropped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(sharding.POINT_AXIS, None), P(sharding.POINT_AXIS),
+                  P(sharding.POINT_AXIS), P(None), P(None, None), P(None)),
+        out_specs=(P(sharding.POINT_AXIS, None), P(sharding.POINT_AXIS),
+                   P(sharding.POINT_AXIS), P()),
+        check_vma=False,
+    )(vmap_global.points, vmap_global.key, vmap_global.valid, split_keys,
+      delta_r, delta_t)
+    return vm.VoxelMap(pts, key, valid), dropped
 
 
 def _ring_candidates(source_l, src_valid_l, blk_pts, blk_valid, k: int,

@@ -437,6 +437,9 @@ def _odometry_step_impl(
     var_max = smoother.max_filtered(rings)                  # includes current
     safe_mean = jnp.where(align_ok, result.mean, jnp.zeros(6, dtype))
 
+    # for method "svgd", mean[3:] are ZYX Euler angles but are composed as an
+    # axis-angle log — the reference's own tensor2gtsamPose3 conflation,
+    # matched deliberately (agrees to O(theta^2); docs/PARITY.md quirk table)
     rc, tc = geo.so3_exp(safe_mean[3:]), safe_mean[:3]
     if cfg.lio.estimator == "icp":
         pose_r, pose_t = geo.transform_compose(guess_r, guess_t, rc, tc)
@@ -676,9 +679,10 @@ def odometry_steps_packed_pre(cfg: PipelineConfig, state: OdometryState,
     return jax.lax.scan(body, state, (ds_bufs, imu_bufs, metas))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "move_map"))
 def _reanchor_state(cfg: PipelineConfig, state: OdometryState,
-                    delta_r: jax.Array, delta_t: jax.Array) -> OdometryState:
+                    delta_r: jax.Array, delta_t: jax.Array,
+                    move_map: bool = True) -> OdometryState:
     """Rigidly move the persistent odometry state by a world-frame correction
     (pose-graph re-anchor): pose history, ESKF nav state, and the voxel map
     (keys recomputed, table re-sorted to restore the key-sorted invariant).
@@ -687,6 +691,10 @@ def _reanchor_state(cfg: PipelineConfig, state: OdometryState,
     is BODY-frame (pose injection T*exp(delta), velocity r_new @ dv —
     core/eskf.py update), so a left world-frame rigid move does not rotate
     the error distribution. The world-frame velocity does rotate.
+
+    ``move_map=False`` skips the map move for the sharded-map mode, where
+    the map lives in key-range blocks and moves via
+    `voxmap_sharded.sharded_reanchor` (its own collective dispatch).
     """
     dtype = jnp.dtype(cfg.dtype)
     dr = delta_r.astype(dtype)
@@ -701,6 +709,10 @@ def _reanchor_state(cfg: PipelineConfig, state: OdometryState,
     nav_r, nav_t = move(nav.r, nav.t)
     ekf = state.eskf._replace(
         nav=imu_mod.NavState(nav_r, nav_t, dr @ nav.v))
+    state = state._replace(
+        pose_r=pose_r, pose_t=pose_t, prev_r=prev_r, prev_t=prev_t, eskf=ekf)
+    if not move_map:
+        return state
 
     from svnicp_tpu.core.pointcloud import INVALID_KEY, voxel_key
 
@@ -713,9 +725,7 @@ def _reanchor_state(cfg: PipelineConfig, state: OdometryState,
     new_map = voxmap.VoxelMap(
         jnp.where(valid[:, None], jnp.stack([sx, sy, sz], axis=-1), 0.0),
         skey, valid)
-    return state._replace(
-        pose_r=pose_r, pose_t=pose_t, prev_r=prev_r, prev_t=prev_t,
-        eskf=ekf, vmap=new_map)
+    return state._replace(vmap=new_map)
 
 
 @dataclasses.dataclass
@@ -1229,10 +1239,27 @@ class LIOPipeline:
         if (np.linalg.norm(delta_t) < 1e-6
                 and np.linalg.norm(delta_r - np.eye(3)) < 1e-6):
             return
+        self.apply_reanchor(delta_r, delta_t)
+
+    def apply_reanchor(self, delta_r, delta_t) -> None:
+        """Rigidly move the live odometry state (pose history, ESKF nav, and
+        the voxel map) by a world-frame correction. On the sharded map the
+        move runs distributed: per-shard re-key + the rebalance ring pass
+        (`voxmap_sharded.sharded_reanchor`) routes rows whose new key left
+        the shard's range to their owner; boundaries stay fixed."""
         dt = jnp.dtype(self.cfg.dtype)
-        self.state = _reanchor_state(
-            self.cfg, self.state,
-            jnp.asarray(delta_r, dt), jnp.asarray(delta_t, dt))
+        dr_j, dt_j = jnp.asarray(delta_r, dt), jnp.asarray(delta_t, dt)
+        sharded_map = self.mesh is not None and self.cfg.map.sharded
+        self.state = _reanchor_state(self.cfg, self.state, dr_j, dt_j,
+                                     move_map=not sharded_map)
+        if sharded_map:
+            from svnicp_tpu.parallel import voxmap_sharded as vms
+
+            new_map, dropped = vms.sharded_reanchor(
+                self.mesh, self.state.vmap, self.state.split_keys,
+                dr_j, dt_j, self.cfg.map.voxel_size)
+            self.state = self.state._replace(vmap=new_map)
+            self.rebalance_drops += int(dropped)
         self.reanchors += 1
 
     def _verify_loop(self, old: int, cur: int):

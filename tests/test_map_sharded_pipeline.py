@@ -137,3 +137,53 @@ class TestShardedMapPipelineMode:
         )
         with pytest.raises(ValueError, match="capacity"):
             pl.LIOPipeline(cfg)
+
+    def test_reanchor_composes_with_sharded_map(self, world):
+        """Loop-closure re-anchoring on the DISTRIBUTED map (round-3 verdict
+        item: the rigid move re-keys per block and migrates rows over the
+        rebalance ring pass). Under the exact-composition f64 operating
+        point, applying the same world-frame correction mid-sequence to the
+        sharded and replicated pipelines must leave them in parity — both
+        immediately and after further frames registered against the moved
+        map."""
+        import jax.numpy as jnp
+
+        from svnicp_tpu.core import geometry as geo
+        from svnicp_tpu.core.pointcloud import INVALID_KEY
+
+        delta_r = np.asarray(geo.so3_exp(jnp.asarray([0.0, 0.0, 0.05])),
+                             np.float64)
+        delta_t = np.asarray([0.4, -0.25, 0.1], np.float64)
+
+        def run_with_midway_reanchor(cfg):
+            times, rots, trans = datasets.synthetic_trajectory(
+                8, dt=0.12, speed=1.2, seed=11)
+            rng = np.random.default_rng(11)
+            pipe = pl.LIOPipeline(cfg)
+            for i in range(8):
+                scan = world.scan_at(rng, rots[i], trans[i], n_points=1500)
+                pipe.feed_scan(float(times[i]), scan)
+                if i == 4:
+                    pipe.apply_reanchor(delta_r, delta_t)
+            return pipe
+
+        with jax.enable_x64(True):
+            pipe_s = run_with_midway_reanchor(sharded_cfg(**parity_overrides()))
+            pipe_r = run_with_midway_reanchor(small_cfg(**parity_overrides()))
+        assert pipe_s.reanchors == 1 and pipe_r.reanchors == 1
+        est_s, est_r = pipe_s.trajectory(), pipe_r.trajectory()
+        diff = np.linalg.norm(est_s[:, :3, 3] - est_r[:, :3, 3], axis=1)
+        assert diff.max() < 1e-4, f"post-reanchor sharded drift {diff.max()}"
+        # the moved maps hold identical resident voxel keys
+        ks, vs = np.asarray(pipe_s.state.vmap.key), np.asarray(pipe_s.state.vmap.valid)
+        kr, vr = np.asarray(pipe_r.state.vmap.key), np.asarray(pipe_r.state.vmap.valid)
+        np.testing.assert_array_equal(
+            np.unique(ks[vs & (ks != INVALID_KEY)]),
+            np.unique(kr[vr & (kr != INVALID_KEY)]))
+
+    def test_reanchor_with_sharded_map_config_accepted(self):
+        # round-3 exclusion lifted: the combination now constructs
+        cfg = sharded_cfg(
+            posegraph=cfg_mod.PoseGraphConfig(enabled=True, reanchor=True))
+        pipe = pl.LIOPipeline(cfg)
+        assert pipe.cfg.posegraph.reanchor and pipe.cfg.map.sharded

@@ -169,3 +169,41 @@ def test_registration_against_sharded_map(rng, mesh):
     np.testing.assert_allclose(np.asarray(rc), np.asarray(r_true), atol=0.02)
     # covariance well-formed and replicated
     assert np.isfinite(np.asarray(res.cov)).all()
+
+
+def test_sharded_reanchor_matches_replicated_move(rng, mesh):
+    """A rigid world-frame move of the sharded map (pose-graph re-anchor)
+    holds exactly the replicated move's resident point set, with every row
+    re-homed to the shard owning its NEW key (the move changes keys, so
+    ownership migrates via the rebalance ring pass)."""
+    pts = rng.uniform(-20, 20, size=(1024, 3)).astype(np.float32)
+    splits = vms.uniform_split_keys(4)
+    m = vm.create(4096)
+    m, _ = vms.sharded_insert(mesh, m, pc.from_numpy(pts, 1024),
+                              jnp.eye(3), jnp.zeros(3), 1.0, 10, 200.0, splits)
+    # a move big enough to change most voxel keys
+    dr = np.asarray(geo.so3_exp(jnp.asarray([0.0, 0.0, 0.4], jnp.float32)))
+    dt = np.asarray([5.3, -2.7, 1.1], np.float32)
+
+    moved, dropped = vms.sharded_reanchor(mesh, m, splits,
+                                          jnp.asarray(dr), jnp.asarray(dt), 1.0)
+    assert int(dropped) == 0
+    # same resident points as moving the replicated set directly
+    ref = np.asarray(m.points)[np.asarray(m.valid)] @ dr.T + dt
+    got = np.asarray(moved.points)[np.asarray(moved.valid)]
+    assert len(got) == len(ref)
+    ref_set = {tuple(np.round(p, 3)) for p in ref}
+    got_set = {tuple(np.round(p, 3)) for p in got}
+    assert ref_set == got_set
+    # keys match the moved coordinates and rows live on their owner shard
+    keys = np.asarray(moved.key).reshape(4, -1)
+    valid = np.asarray(moved.valid).reshape(4, -1)
+    ptsb = np.asarray(moved.points).reshape(4, -1, 3)
+    owners = np.searchsorted(np.asarray(splits), keys, side="right")
+    for s in range(4):
+        assert (owners[s][valid[s]] == s).all(), s
+        want = np.asarray(pc.voxel_key(jnp.asarray(ptsb[s][valid[s]]), 1.0))
+        np.testing.assert_array_equal(keys[s][valid[s]], want)
+        # local table stays key-sorted with valid rows first
+        ks = keys[s][valid[s]]
+        assert (np.diff(ks) >= 0).all()
