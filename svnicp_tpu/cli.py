@@ -223,12 +223,18 @@ def cmd_record(args):
 
     from svnicp_tpu.io import stream as stream_mod
 
-    gt = stream_mod.record_synthetic(
-        args.log, n_frames=args.frames, seed=args.seed,
-        n_points=args.points)
+    if args.proxy:
+        gt = stream_mod.record_proxy(
+            args.log, n_frames=args.frames, seed=args.seed,
+            col_step=args.col_step)
+    else:
+        gt = stream_mod.record_synthetic(
+            args.log, n_frames=args.frames, seed=args.seed,
+            n_points=args.points)
     if args.gt:
         np.save(args.gt, gt)
-    print(json.dumps({"log": args.log, "frames": args.frames}))
+    print(json.dumps({"log": args.log, "frames": args.frames,
+                      "proxy": bool(args.proxy)}))
 
 
 def main(argv=None):
@@ -270,6 +276,12 @@ def main(argv=None):
     r.add_argument("--points", type=int, default=4000)
     r.add_argument("--seed", type=int, default=5)
     r.add_argument("--gt", default=None, help="write ground-truth poses .npy")
+    r.add_argument("--proxy", action="store_true",
+                   help="realistic proxy log: motion-distorted HDL-64 "
+                        "raycast sweeps + noisy/biased 100 Hz IMU "
+                        "(io/stream.record_proxy)")
+    r.add_argument("--col-step", type=int, default=3,
+                   help="proxy azimuth decimation (1 = full 2250 columns)")
     r.set_defaults(fn=cmd_record)
 
     args = ap.parse_args(argv)

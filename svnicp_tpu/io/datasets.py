@@ -164,6 +164,97 @@ def raycast_scan(surfaces, pose_r: np.ndarray, pose_t: np.ndarray,
     return pts.astype(np.float32)
 
 
+def raycast_sweep(surfaces, pose0_r, pose0_t, pose1_r, pose1_t,
+                  n_scan: int = 64, horizon: int = 2250,
+                  ang_res_y: float = 26.8 / 63.0, ang_bottom: float = 24.8,
+                  max_range: float = 80.0, noise: float = 0.02,
+                  col_step: int = 1, n_groups: int = 25,
+                  dropout: float = 0.0, rng=None):
+    """Motion-distorted HDL-64 raycast sweep — the closest offline proxy to
+    a real rotating-LiDAR log this zero-egress environment can produce
+    (VERDICT round-3 item 1; the reference validates on GEODE/SubT-MRS bags,
+    ref: svn-icp/launch/geodeAlpha.launch.py:79-86, which are not
+    obtainable here).
+
+    Physics mirrored from a spinning sensor: azimuth column c is observed at
+    sweep fraction tau = c/len(cols), from the pose screw-interpolated
+    between `pose0` (sweep start) and `pose1` (sweep end); its return is
+    range * direction in the sensor frame AT THAT INSTANT. The assembled
+    cloud therefore mixes observation frames — exactly the distortion real
+    logs carry and the deskew path inverts (ref deskew:
+    OdometryPipeline.cpp:414-445). Columns are grouped into `n_groups` pose
+    samples (piecewise-constant within ~4 ms groups at 10 Hz; real deskew
+    granularity is no finer). Range noise + optional per-ray `dropout`
+    emulate sensor returns.
+
+    Returns (points [N,3] f32 in the mixed sensor frames, tau [N] f32,
+    (mid_r, mid_t) — the tau=0.5 pose the deskewed cloud lives in, i.e. the
+    ground-truth pose for evaluation).
+    """
+    import jax
+    import jax.numpy as _jnp
+
+    from svnicp_tpu.core import geometry as _geo
+
+    rng = rng or np.random.default_rng(0)
+    rows = np.arange(n_scan)
+    cols = np.arange(0, horizon, col_step)
+    vert = np.radians(-ang_bottom + rows * ang_res_y)            # [R]
+    horiz = np.radians(90.0 - cols * (360.0 / horizon))          # [C]
+    cv, sv = np.cos(vert)[:, None], np.sin(vert)[:, None]
+    ch, sh = np.cos(horiz)[None, :], np.sin(horiz)[None, :]
+    dirs = np.stack([cv * sh, cv * ch, np.broadcast_to(sv, (n_scan, len(cols)))],
+                    axis=-1)                                     # [R,C,3]
+    col_tau = (cols.astype(np.float64) / horizon).astype(np.float32)  # [C] in [0,1)
+
+    # screw-interpolated observation poses at the group centers
+    rdelta, tdelta = _geo.transform_compose(
+        *_geo.transform_inverse(_jnp.asarray(pose0_r), _jnp.asarray(pose0_t)),
+        _jnp.asarray(pose1_r), _jnp.asarray(pose1_t))
+    xi = np.asarray(_geo.se3_log(rdelta, tdelta))
+
+    def pose_at(tau):
+        rloc, tloc = _geo.se3_exp(_jnp.asarray(tau * xi))
+        return (pose0_r @ np.asarray(rloc),
+                pose0_r @ np.asarray(tloc) + pose0_t)
+
+    bounds = np.linspace(0, len(cols), n_groups + 1).astype(int)
+    out_pts, out_tau = [], []
+    for g in range(n_groups):
+        c0, c1 = bounds[g], bounds[g + 1]
+        if c0 == c1:
+            continue
+        g_tau = float(col_tau[(c0 + c1) // 2])
+        rg, tg = pose_at(g_tau)
+        d = dirs[:, c0:c1].reshape(-1, 3)                        # [R*(c1-c0),3]
+        dirs_w = d @ rg.T
+        best_t = np.full(len(d), np.inf)
+        for (o, u, v, ul, vl) in surfaces:
+            n = np.cross(u, v)
+            denom = dirs_w @ n
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = ((o - tg) @ n) / denom
+            p = tg[None] + t[:, None] * dirs_w
+            a = (p - o[None]) @ u
+            b = (p - o[None]) @ v
+            hit = (np.abs(denom) > 1e-9) & (t > 0.3) & (t < max_range) \
+                & (a >= 0) & (a <= ul) & (b >= 0) & (b <= vl)
+            best_t = np.where(hit & (t < best_t), t, best_t)
+        ok = np.isfinite(best_t)
+        if dropout > 0:
+            ok &= rng.uniform(size=len(d)) >= dropout
+        rngs = best_t[ok]
+        if noise > 0:                       # range noise, along the ray
+            rngs = rngs + rng.normal(scale=noise, size=rngs.shape)
+        out_pts.append(rngs[:, None] * d[ok])
+        out_tau.append(np.broadcast_to(
+            col_tau[None, c0:c1], (n_scan, c1 - c0)).reshape(-1)[ok])
+    pts = np.concatenate(out_pts).astype(np.float32)
+    tau = np.concatenate(out_tau).astype(np.float32)
+    mid_r, mid_t = pose_at(0.5)
+    return pts, tau, (mid_r, mid_t)
+
+
 @dataclasses.dataclass
 class DegenerateWorld:
     """Geometrically under-constrained environments for covariance tests:
