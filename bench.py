@@ -50,7 +50,8 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
           candidate_method: str = "bucketed", iterations: int = 100,
           early_stop: bool = True, residual: str = "point_to_point",
           batch: int = 1, host_ds: bool = True, segmentation: bool = False,
-          icp_method: str = "svn", insert_every: int = 1):
+          icp_method: str = "svn", insert_every: int = 1,
+          stein_kernel: bool = True):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
@@ -79,6 +80,7 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
             convergence_metric="mean_delta" if plane else "grad_norm",
             source_capacity=4096, target_capacity=65536, use_pallas=use_pallas,
             candidate_method=candidate_method, residual=residual,
+            stein_kernel=stein_kernel,
         ),
         map=cfg_mod.MapConfig(voxel_size=1.0, max_points_per_voxel=20,
                               max_range=300.0, capacity=131072,
@@ -116,13 +118,14 @@ def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = Fals
         candidate_method: str = "bucketed", iterations: int = 100,
         early_stop: bool = True, residual: str = "point_to_point",
         batch: int = 1, segmentation: bool = False, icp_method: str = "svn",
-        insert_every: int = 1):
+        insert_every: int = 1, stein_kernel: bool = True):
     import jax
 
     pipe, times, scans = build(n_frames, particles, use_pallas, candidate_method,
                                iterations, early_stop, residual, batch,
                                segmentation=segmentation, icp_method=icp_method,
-                               insert_every=insert_every)
+                               insert_every=insert_every,
+                               stein_kernel=stein_kernel)
     import numpy as _np
 
     # warmup (compile + first-frame bootstrap; flush drains batched mode)
@@ -174,6 +177,14 @@ def main():
                     help="map insert cadence: off-cadence frames dispatch a "
                          "no-insert step specialization (the map-merge sorts "
                          "are skipped on device entirely)")
+    ap.add_argument("--no-stein-kernel", action="store_true",
+                    help="disable the fused Stein-update Pallas kernel "
+                         "(XLA ensemble update; back-to-back A/B row)")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="timed repetitions over the SAME warm pipeline "
+                         "build; reports the median (the axon tunnel drifts "
+                         "±15%% between epochs — a 3-run median within one "
+                         "epoch removes single-sample ambiguity)")
     ap.add_argument("--icp-method", default="svn",
                     choices=["svn", "svgd", "svd"],
                     help="algorithm family: svn (Gauss-Newton + Stein, the "
@@ -211,24 +222,34 @@ def main():
     timed = 40 if args.batch <= 1 else ((40 + args.batch - 1) // args.batch) * args.batch
     if args.segmentation:
         timed = min(timed, 20)    # raycast generation is the setup cost
-    fps = run(n_frames=args.frames or (warmup + timed), warmup=warmup,
-              use_pallas=not args.no_pallas,
-              candidate_method=args.method, iterations=args.iters,
-              particles=args.particles, early_stop=not args.no_early_stop,
-              residual=args.residual, batch=args.batch,
-              segmentation=args.segmentation, icp_method=args.icp_method,
-              insert_every=args.insert_every)
+    # --repeat: full fresh-pipeline runs in ONE process (jit caches persist,
+    # so repeats re-warm cheaply); median kills single-tunnel-epoch noise
+    samples = []
+    for _ in range(max(1, args.repeat)):
+        samples.append(run(
+            n_frames=args.frames or (warmup + timed), warmup=warmup,
+            use_pallas=not args.no_pallas,
+            candidate_method=args.method, iterations=args.iters,
+            particles=args.particles, early_stop=not args.no_early_stop,
+            residual=args.residual, batch=args.batch,
+            segmentation=args.segmentation, icp_method=args.icp_method,
+            insert_every=args.insert_every,
+            stein_kernel=not args.no_stein_kernel))
+    fps = float(np.median(samples))
     metric = "lidar_frames_per_sec_per_chip_64_particles"
     if args.segmentation:
         metric += "_segmentation"
     elif args.icp_method != "svn":
         metric += f"_{args.icp_method}"
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / cpu_baseline_fps(), 2),
-    }))
+    }
+    if len(samples) > 1:
+        rec["runs"] = [round(s, 1) for s in samples]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -179,12 +179,19 @@ def svn_full_update(
     return lr * residuals.cholesky_solve6(h_bar, drive)
 
 
+def prior_inverse_variance(cfg: SteinICPConfig, dtype) -> jax.Array:
+    """[6] precision of the particle-box prior N(0, P), P = (ub-lb)^2/12.
+    Single source of truth for the prior parameterization — used by
+    add_prior_information, the fused Pallas gate, and the parity tests."""
+    lb = jnp.asarray(cfg.init_lb, dtype)
+    ub = jnp.asarray(cfg.init_ub, dtype)
+    return 1.0 / jnp.maximum((ub - lb) ** 2 / 12.0, 1e-12)
+
+
 def prior_kernel_scale(cfg: SteinICPConfig, dtype) -> jax.Array:
     """Per-dim kernel whitening scale under cfg.prior_information: the
     prior std of the particle box (see svgd_precond_grad)."""
-    lb = jnp.asarray(cfg.init_lb, dtype)
-    ub = jnp.asarray(cfg.init_ub, dtype)
-    return jnp.sqrt(jnp.maximum((ub - lb) ** 2 / 12.0, 1e-12))
+    return jnp.sqrt(1.0 / prior_inverse_variance(cfg, dtype))
 
 
 def add_prior_information(cfg: SteinICPConfig, hess: jax.Array, b: jax.Array,
@@ -197,10 +204,7 @@ def add_prior_information(cfg: SteinICPConfig, hess: jax.Array, b: jax.Array,
     variance instead of diffusing without bound (see config.py). No
     reference analogue — the reference's prior enters only through particle
     initialization."""
-    lb = jnp.asarray(cfg.init_lb, coords.dtype)
-    ub = jnp.asarray(cfg.init_ub, coords.dtype)
-    prior_var = jnp.maximum((ub - lb) ** 2 / 12.0, 1e-12)
-    inv = 1.0 / prior_var                                      # [6]
+    inv = prior_inverse_variance(cfg, coords.dtype)            # [6]
     hess = hess + jnp.diag(inv)[None, :, :]
     b = b + coords * inv[None, :]
     return hess, b
@@ -334,8 +338,8 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
                 source, transformed, matched, pair_valid, src_valid, r_total,
                 cfg.max_dist,
             )
-    if (pallas_prep is not None and p > 1 and not cfg.svn_full_grad
-            and state.r.dtype == jnp.float32):
+    if (pallas_prep is not None and cfg.stein_kernel and p > 1
+            and not cfg.svn_full_grad and state.r.dtype == jnp.float32):
         # fused ensemble update: solve + Stein coupling + pose update in ONE
         # Pallas program (kernels/stein_pallas.py) — the same math as the
         # XLA path below, whose ~hundred small while-body ops cost more in
@@ -344,10 +348,8 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
 
         prior = None
         if cfg.prior_information:
-            lb = jnp.asarray(cfg.init_lb, jnp.float32)
-            ub = jnp.asarray(cfg.init_ub, jnp.float32)
             prior = jnp.stack([
-                1.0 / jnp.maximum((ub - lb) ** 2 / 12.0, 1e-12),
+                prior_inverse_variance(cfg, jnp.float32),
                 prior_kernel_scale(cfg, jnp.float32),
             ])
         r_new, t_new, grad_norm, mean_delta = stein_pallas.stein_update(

@@ -41,12 +41,13 @@ import resource  # noqa: E402
 
 _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
 _want = 512 << 20
-if _soft != resource.RLIM_INFINITY and (_hard == resource.RLIM_INFINITY or _hard > _soft):
+_new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+# Only ever RAISE the soft limit: if the environment already set a larger
+# one (e.g. soft=1 GiB), clamping it back down to 512 MiB would reintroduce
+# the very overflow risk this block mitigates.
+if _soft != resource.RLIM_INFINITY and _new > _soft:
     try:
-        resource.setrlimit(
-            resource.RLIMIT_STACK,
-            (_want if _hard == resource.RLIM_INFINITY else min(_want, _hard),
-             _hard))
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
     except (ValueError, OSError):
         pass
 

@@ -89,9 +89,7 @@ class TestKernelVsOracle:
         want = svn.svgd_precond_grad(coords, coords, -newton, h_mean, scale)
         want = svn.clip_step(want, 3.0)
 
-        lb = jnp.asarray(cfg.init_lb, jnp.float32)
-        ub = jnp.asarray(cfg.init_ub, jnp.float32)
-        prior_inv = 1.0 / jnp.maximum((ub - lb) ** 2 / 12.0, 1e-12)
+        prior_inv = svn.prior_inverse_variance(cfg, jnp.float32)
         _, _, stein = sp.stein_body(hess, b, r, t, coords, max_dist=3.0,
                                     prior_inv=prior_inv, prior_scale=scale)
         np.testing.assert_allclose(stein, want, rtol=2e-5, atol=2e-6)
