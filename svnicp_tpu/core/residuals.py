@@ -209,9 +209,12 @@ def cholesky_solve6(h: jax.Array, b: jax.Array) -> jax.Array:
     iteration (runs every epoch on [P,6,6]). Unrolling the 6x6 factorization
     and the two triangular substitutions into ~120 scalar expressions makes
     every step a [batch]-shaped VPU op that XLA fuses into a handful of
-    kernels. Same math as Cholesky, so NaN on non-SPD input (upstream adds
-    the reference's 1e-6 jitter, SVNICP.cpp:153). Supports any leading
-    batch shape, with numpy broadcasting between h [...,6,6] and b [...,6].
+    kernels. Pivots carry a scale-relative floor (see below) so the solve
+    stays FINITE even when f32 cancellation eats the reference's 1e-6
+    jitter (SVNICP.cpp:153) on rank-deficient input; on well-conditioned
+    input the floor never engages and the result is bit-identical to plain
+    Cholesky. Supports any leading batch shape, with numpy broadcasting
+    between h [...,6,6] and b [...,6].
     """
     a = [[h[..., i, j] for j in range(6)] for i in range(6)]
     l = [[None] * 6 for _ in range(6)]
@@ -220,6 +223,18 @@ def cholesky_solve6(h: jax.Array, b: jax.Array) -> jax.Array:
         s = a[j][j]
         for k in range(j):
             s = s - l[j][k] * l[j][k]
+        # pivot floor: for a rank-deficient H (e.g. 0-2 valid pairs after the
+        # particles walked outside the correspondence gate) the upstream 1e-6
+        # jitter sits BELOW the f32 cancellation error of O(|H|) entries, so
+        # the mathematically-tiny pivot can round negative -> sqrt NaN that
+        # poisons the whole ensemble (and whether it fires depends on XLA's
+        # fusion rounding, making the failure jit- and backend-sensitive;
+        # observed on segmented-scan plane alignments). The scale-relative
+        # floor keeps the factorization finite — the resulting huge step
+        # along the deficient direction is bounded by clip_step's trust
+        # region downstream. Well-conditioned pivots (>= the 1e-6 jitter)
+        # exceed the floor and are bit-identical to the unguarded form.
+        s = jnp.maximum(s, 1e-12 * (1.0 + jnp.abs(a[j][j])))
         l[j][j] = jnp.sqrt(s)
         linv[j] = 1.0 / l[j][j]
         for i in range(j + 1, 6):

@@ -85,3 +85,44 @@ def test_cholesky_solve6_batched_and_broadcast(rng):
     xb = residuals.cholesky_solve6(jnp.asarray(h1), jnp.asarray(b))
     refb = np.stack([np.linalg.solve(h1, b[i]) for i in range(16)])
     np.testing.assert_allclose(np.asarray(xb), refb, rtol=1e-3, atol=1e-4)
+
+
+def test_cholesky_solve6_rank_deficient_f32_stays_finite():
+    """Regression: a REAL rank-2 GN Hessian captured from a segmented-scan
+    plane alignment (2 valid pairs + 1e-6 jitter). In f32 the cancellation
+    error of O(100) entries exceeds the jitter, so an unguarded Cholesky
+    pivot rounds negative -> sqrt NaN that poisoned the whole ensemble
+    (jit-/fusion-sensitive: the same input solved eagerly was finite). The
+    pivot floor must keep the solve finite; the (huge) step along the
+    deficient directions is bounded by svn.clip_step downstream."""
+    h_bad = np.array(
+        [[0.27815217, 0.2623033, -0.38537744, 3.3678045, 3.857617, 5.0510497],
+         [0.2623033, 0.2478187, -0.36476505, 3.1940665, 3.645455, 4.7684026],
+         [-0.38537744, -0.36476508, 0.53787744, -4.719208, -5.3670497, -7.01326],
+         [3.3678048, 3.1940668, -4.719208, 41.493614, 47.008705, 61.360256],
+         [3.8576171, 3.6454551, -5.3670497, 47.008705, 53.627136, 70.13726],
+         [5.05105, 4.7684026, -7.01326, 61.360256, 70.13726, 91.7814]],
+        np.float32)
+    b_bad = np.array([0.01662421, 0.024123777, -0.04776382, 0.5349798,
+                      0.37084615, 0.39640346], np.float32)
+    x = jax.jit(residuals.cholesky_solve6)(jnp.asarray(h_bad), jnp.asarray(b_bad))
+    assert np.isfinite(np.asarray(x)).all()
+    # ... and after the trust region the step is a sane magnitude
+    from svnicp_tpu.core import svn
+
+    clipped = svn.clip_step(jnp.asarray(x)[None], 3.0)
+    assert np.isfinite(np.asarray(clipped)).all()
+    assert float(jnp.linalg.norm(clipped)) <= 3.0 + 1e-5
+
+
+def test_cholesky_solve6_floor_bit_neutral_on_spd(rng):
+    """The pivot floor must not change well-conditioned solves at all:
+    compare against numpy's f64 solve at f32-roundtrip tolerance on random
+    SPD systems of the hot path's scale."""
+    j = rng.normal(size=(32, 24, 6)).astype(np.float32)
+    h = np.einsum("bki,bkj->bij", j, j) + 1e-6 * np.eye(6, dtype=np.float32)
+    b = rng.normal(size=(32, 6)).astype(np.float32)
+    x = np.asarray(residuals.cholesky_solve6(jnp.asarray(h), jnp.asarray(b)))
+    want = np.linalg.solve(h.astype(np.float64),
+                           b.astype(np.float64)[..., None])[..., 0]
+    np.testing.assert_allclose(x, want, rtol=2e-3, atol=1e-5)

@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--residual", default="point_to_plane")
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--insert-every", type=int, default=1)
+    ap.add_argument("--segmentation", action="store_true",
+                    help="HDL-64 raycast scans through range-image "
+                         "segmentation (bench.py --segmentation point)")
+    ap.add_argument("--icp-method", default="svn",
+                    choices=["svn", "svgd", "svd"])
     args = ap.parse_args()
 
     import numpy as np
@@ -31,7 +36,8 @@ def main():
     pipe, times, scans = bench.build(
         args.frames, particles=64, use_pallas=True,
         candidate_method=args.method, residual=args.residual,
-        insert_every=args.insert_every)
+        insert_every=args.insert_every,
+        segmentation=args.segmentation, icp_method=args.icp_method)
     _, rots, trans = datasets.synthetic_trajectory(
         args.frames, dt=0.1, speed=2.0, seed=7)
     for i in range(args.frames):
@@ -55,6 +61,8 @@ def main():
     mean_nees, _ = metrics.nees(est[1:], gt[1:], guess[1:], covs[1:])
     print(json.dumps({
         "method": args.method, "residual": args.residual,
+        "icp_method": args.icp_method,
+        "segmentation": bool(args.segmentation),
         "frames": args.frames, "ate_rmse_m": round(float(ate), 4),
         "rpe_trans_m": round(float(rpe_t), 4),
         "rpe_rot_rad": round(float(rpe_r), 5),
