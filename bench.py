@@ -78,6 +78,14 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
             # the halved in-loop kernel saves at K=32 (BASELINE.md)
             convergence_threshold=1e-3 if plane else 5e-4,
             convergence_metric="mean_delta" if plane else "grad_norm",
+            # segmentation keeps only clusters + sparse ground, so thin-wall
+            # scans have NO vertical normals: z/pitch/roll are exact null
+            # directions and the jitter-amplified repulsion explodes the
+            # ensemble (measured: ATE 3.2 diverging, 100 iters/frame). The
+            # MAP prior bounds the posterior along null directions exactly as
+            # designed (config.py prior_information): ATE 0.31, 5-6
+            # iters/frame on the same scans
+            prior_information=segmentation,
             source_capacity=4096, target_capacity=65536, use_pallas=use_pallas,
             candidate_method=candidate_method, residual=residual,
             stein_kernel=stein_kernel,
@@ -118,29 +126,38 @@ def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = Fals
         candidate_method: str = "bucketed", iterations: int = 100,
         early_stop: bool = True, residual: str = "point_to_point",
         batch: int = 1, segmentation: bool = False, icp_method: str = "svn",
-        insert_every: int = 1, stein_kernel: bool = True):
-    import jax
+        insert_every: int = 1, stein_kernel: bool = True, repeat: int = 1):
+    """Measure fps; with repeat > 1 the (expensive) world/scan generation and
+    jit compiles are shared across samples — each sample runs a FRESH
+    pipeline over the same scans — and the returned list holds one fps per
+    sample (caller takes the median)."""
+    import numpy as _np
+
+    from svnicp_tpu.runtime import pipeline as _pl
 
     pipe, times, scans = build(n_frames, particles, use_pallas, candidate_method,
                                iterations, early_stop, residual, batch,
                                segmentation=segmentation, icp_method=icp_method,
                                insert_every=insert_every,
                                stein_kernel=stein_kernel)
-    import numpy as _np
-
-    # warmup (compile + first-frame bootstrap; flush drains batched mode)
-    for i in range(warmup):
-        out = pipe.feed_scan(float(times[i]), scans[i])
-    out = pipe.flush() or out
-    _np.asarray(out.pose_t)     # hard sync: block_until_ready alone is
-                                # unreliable over the axon tunnel
-    t0 = time.perf_counter()
-    for i in range(warmup, n_frames):
-        out = pipe.feed_scan(float(times[i]), scans[i]) or out
-    out = pipe.flush() or out
-    _np.asarray(out.pose_t)
-    dt = time.perf_counter() - t0
-    return (n_frames - warmup) / dt
+    samples = []
+    for rep in range(max(1, repeat)):
+        if rep > 0:
+            pipe = _pl.LIOPipeline(pipe.cfg)
+        # warmup (compile + first-frame bootstrap; flush drains batched mode)
+        for i in range(warmup):
+            out = pipe.feed_scan(float(times[i]), scans[i])
+        out = pipe.flush() or out
+        _np.asarray(out.pose_t)     # hard sync: block_until_ready alone is
+                                    # unreliable over the axon tunnel
+        t0 = time.perf_counter()
+        for i in range(warmup, n_frames):
+            out = pipe.feed_scan(float(times[i]), scans[i]) or out
+        out = pipe.flush() or out
+        _np.asarray(out.pose_t)
+        dt = time.perf_counter() - t0
+        samples.append((n_frames - warmup) / dt)
+    return samples if repeat > 1 else samples[0]
 
 
 def main():
@@ -180,11 +197,13 @@ def main():
     ap.add_argument("--no-stein-kernel", action="store_true",
                     help="disable the fused Stein-update Pallas kernel "
                          "(XLA ensemble update; back-to-back A/B row)")
-    ap.add_argument("--repeat", type=int, default=1,
-                    help="timed repetitions over the SAME warm pipeline "
-                         "build; reports the median (the axon tunnel drifts "
-                         "±15%% between epochs — a 3-run median within one "
-                         "epoch removes single-sample ambiguity)")
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="timed repetitions in one process (jit caches make "
+                         "repeats cheap); reports the median. Default 3: the "
+                         "axon tunnel drifts ±15%% between epochs and the "
+                         "FIRST sample of a process runs 10-30%% cold, so a "
+                         "single sample is ambiguous (BASELINE.md tunnel-"
+                         "epoch caveat). Set 1 for the quick single-shot")
     ap.add_argument("--icp-method", default="svn",
                     choices=["svn", "svgd", "svd"],
                     help="algorithm family: svn (Gauss-Newton + Stein, the "
@@ -222,19 +241,16 @@ def main():
     timed = 40 if args.batch <= 1 else ((40 + args.batch - 1) // args.batch) * args.batch
     if args.segmentation:
         timed = min(timed, 20)    # raycast generation is the setup cost
-    # --repeat: full fresh-pipeline runs in ONE process (jit caches persist,
-    # so repeats re-warm cheaply); median kills single-tunnel-epoch noise
-    samples = []
-    for _ in range(max(1, args.repeat)):
-        samples.append(run(
-            n_frames=args.frames or (warmup + timed), warmup=warmup,
-            use_pallas=not args.no_pallas,
-            candidate_method=args.method, iterations=args.iters,
-            particles=args.particles, early_stop=not args.no_early_stop,
-            residual=args.residual, batch=args.batch,
-            segmentation=args.segmentation, icp_method=args.icp_method,
-            insert_every=args.insert_every,
-            stein_kernel=not args.no_stein_kernel))
+    out = run(
+        n_frames=args.frames or (warmup + timed), warmup=warmup,
+        use_pallas=not args.no_pallas,
+        candidate_method=args.method, iterations=args.iters,
+        particles=args.particles, early_stop=not args.no_early_stop,
+        residual=args.residual, batch=args.batch,
+        segmentation=args.segmentation, icp_method=args.icp_method,
+        insert_every=args.insert_every,
+        stein_kernel=not args.no_stein_kernel, repeat=args.repeat)
+    samples = out if isinstance(out, list) else [out]
     fps = float(np.median(samples))
     metric = "lidar_frames_per_sec_per_chip_64_particles"
     if args.segmentation:
