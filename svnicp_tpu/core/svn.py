@@ -338,8 +338,12 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
                 source, transformed, matched, pair_valid, src_valid, r_total,
                 cfg.max_dist,
             )
-    if (pallas_prep is not None and cfg.stein_kernel and p > 1
+    if (pallas_prep is not None and cfg.stein_kernel and p > 1 and p % 8 == 0
             and not cfg.svn_full_grad and state.r.dtype == jnp.float32):
+        # p % 8: Mosaic rejects the [P,P] coupling reductions at non-sublane-
+        # multiple P ("Not implemented: Lane broadcast", observed at the
+        # geode operating point's P=10); padding P would poison the pairwise
+        # median bandwidth, so such ensembles take the XLA update below
         # fused ensemble update: solve + Stein coupling + pose update in ONE
         # Pallas program (kernels/stein_pallas.py) — the same math as the
         # XLA path below, whose ~hundred small while-body ops cost more in
