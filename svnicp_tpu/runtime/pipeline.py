@@ -107,6 +107,86 @@ def _hist_len(cfg: PipelineConfig) -> int:
     return cfg.icp.iterations if cfg.save_particles else 0
 
 
+# ---------------------------------------------------------------------------
+# Packed frame output: every small FrameOutput leaf fused into ONE f32 + ONE
+# i32 buffer. On the remote-tunnel backend each distinct output buffer of a
+# jitted step costs a fixed ~0.15-0.47 ms copy-start/copy-done pair
+# INDEPENDENT of its size (measured 2.18 ms/frame across the ~19 tiny
+# leaves — 28% of device time, tools/profile_step.py round 4; the same
+# per-buffer overhead class as the round-3 donation find). Packing turns
+# them into 2 buffers; the host reads fields through the lazy
+# HostFrameOutput facade, which fetches each fused buffer once on first
+# access and serves zero-copy numpy views after.
+# ---------------------------------------------------------------------------
+
+_PACK_F32 = (
+    ("pose_r", (3, 3)), ("pose_t", (3,)), ("guess_r", (3, 3)),
+    ("guess_t", (3,)), ("velocity", (3,)), ("var_icp", (6,)),
+    ("var_mean", (6,)), ("var_max_sliding", (6,)), ("var_random_walk", (6,)),
+    ("cov", (6, 6)), ("icp_grad_norm", ()), ("kf_gain", (15, 6)),
+    ("kf_cov_diag", (15,)),
+)
+_PACK_I32 = ("icp_iterations", "align_ok", "map_points", "map_dropped",
+             "target_overflow", "imu_dropped")
+_PACK_OFFSETS = {}
+_off = 0
+for _name, _shape in _PACK_F32:
+    _sz = int(np.prod(_shape)) if _shape else 1
+    _PACK_OFFSETS[_name] = (_off, _sz, _shape)
+    _off += _sz
+_PACK_F32_LEN = _off
+del _off, _name, _shape, _sz
+
+
+class PackedFrameOutput(NamedTuple):
+    small: jax.Array       # [_PACK_F32_LEN] cfg dtype (see _PACK_F32 layout)
+    ints: jax.Array        # [len(_PACK_I32)] int32
+    particles: jax.Array   # [P,6]
+    weights: jax.Array     # [P]
+    history: jax.Array     # [H,P,6]
+
+
+def pack_output(out: FrameOutput) -> PackedFrameOutput:
+    dt = out.pose_t.dtype
+    small = jnp.concatenate(
+        [jnp.ravel(getattr(out, n)).astype(dt) for n, _ in _PACK_F32])
+    ints = jnp.stack(
+        [jnp.asarray(getattr(out, n)).astype(jnp.int32) for n in _PACK_I32])
+    return PackedFrameOutput(small, ints, out.particles, out.weights,
+                             out.history)
+
+
+class HostFrameOutput:
+    """Lazy FrameOutput facade over a PackedFrameOutput (field-compatible:
+    `out.pose_t`, `out.align_ok`, ... all work). Big leaves (particles,
+    weights, history) pass through as device arrays."""
+
+    __slots__ = ("_packed", "_small", "_ints")
+
+    def __init__(self, packed: PackedFrameOutput):
+        self._packed = packed
+        self._small = None
+        self._ints = None
+
+    def __getattr__(self, name):
+        if name in ("particles", "weights", "history"):
+            return getattr(self._packed, name)
+        if name in _PACK_OFFSETS:
+            if self._small is None:
+                object.__setattr__(self, "_small",
+                                   np.asarray(self._packed.small))
+            off, sz, shape = _PACK_OFFSETS[name]
+            v = self._small[off:off + sz]
+            return v.reshape(shape) if shape else v[0]
+        if name in _PACK_I32:
+            if self._ints is None:
+                object.__setattr__(self, "_ints",
+                                   np.asarray(self._packed.ints))
+            v = self._ints[_PACK_I32.index(name)]
+            return bool(v) if name == "align_ok" else v
+        raise AttributeError(name)
+
+
 def _map_shards(cfg: PipelineConfig) -> int:
     return cfg.sharding.point_axis if cfg.map.sharded else 1
 
@@ -557,8 +637,9 @@ def _unpack_frame(cfg: PipelineConfig, scan_buf: jax.Array, imu_buf: jax.Array,
 def bootstrap_packed(cfg: PipelineConfig, state: OdometryState,
                      scan_buf: jax.Array, imu_buf: jax.Array, meta: jax.Array,
                      mesh=None):
-    return _bootstrap_impl(cfg, state,
-                           _unpack_frame(cfg, scan_buf, imu_buf, meta), mesh=mesh)
+    state, out = _bootstrap_impl(
+        cfg, state, _unpack_frame(cfg, scan_buf, imu_buf, meta), mesh=mesh)
+    return state, pack_output(out)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "skip_insert"), donate_argnums=(1,))
@@ -581,10 +662,15 @@ def odometry_step_packed(cfg: PipelineConfig, state: OdometryState,
     ESKF gain/cov — tiny arrays) costing 3.1 ms/frame, 41% of device time,
     on the remote-tunnel backend. Do NOT call these *_packed entry points
     twice with the same state object (tests use odometry_step, which does
-    not donate)."""
-    return _odometry_step_impl(cfg, state,
-                               _unpack_frame(cfg, scan_buf, imu_buf, meta),
-                               mesh=mesh, skip_insert=skip_insert)
+    not donate).
+
+    Returns (state, PackedFrameOutput): the small observables fused into
+    two buffers (see pack_output — ~19 tiny per-frame output buffers cost
+    2.18 ms/frame of fixed per-buffer copy overhead on the tunnel)."""
+    state, out = _odometry_step_impl(
+        cfg, state, _unpack_frame(cfg, scan_buf, imu_buf, meta),
+        mesh=mesh, skip_insert=skip_insert)
+    return state, pack_output(out)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "skip_insert"), donate_argnums=(1,))
@@ -643,8 +729,10 @@ def odometry_step_packed_pre(cfg: PipelineConfig, state: OdometryState,
         imu_valid=jnp.arange(w, dtype=jnp.int32) < n_imu,
         imu_dropped=meta[3].astype(jnp.int32),
     )
-    return _odometry_step_impl(cfg, state, frame, mesh=mesh,
-                               pre=(to_map, source), skip_insert=skip_insert)
+    state, out = _odometry_step_impl(cfg, state, frame, mesh=mesh,
+                                     pre=(to_map, source),
+                                     skip_insert=skip_insert)
+    return state, pack_output(out)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1,))
@@ -655,12 +743,13 @@ def odometry_steps_packed(cfg: PipelineConfig, state: OdometryState,
     jitted lax.scan — ONE program launch for F frames (see
     PipelineConfig.dispatch_batch; measured slower than per-frame dispatch
     on the axon tunnel, kept for backends with costly launches).
-    Returns (final state, FrameOutput pytree with a leading F axis)."""
+    Returns (final state, PackedFrameOutput pytree with a leading F axis)."""
 
     def body(st, inp):
         sb, ib, mb = inp
-        return _odometry_step_impl(cfg, st, _unpack_frame(cfg, sb, ib, mb),
-                                   mesh=mesh)
+        st, out = _odometry_step_impl(cfg, st, _unpack_frame(cfg, sb, ib, mb),
+                                      mesh=mesh)
+        return st, pack_output(out)
 
     return jax.lax.scan(body, state, (scan_bufs, imu_bufs, metas))
 
@@ -984,6 +1073,7 @@ class LIOPipeline:
                 self.state, out = bootstrap_packed(self.cfg, self.state,
                                                    scan_buf, imu_buf, meta,
                                                    mesh=self.mesh)
+            out = HostFrameOutput(out)
             self._record_frame(t, out, points)
             self._maybe_rebalance(force=True)
             return out
@@ -1012,6 +1102,7 @@ class LIOPipeline:
         with self.timer.span("dispatch"):
             self.state, out = step(self.cfg, self.state, *bufs, mesh=self.mesh,
                                    skip_insert=self._skip_insert(self._frames))
+        out = HostFrameOutput(out)
         self._record_frame(t, out, points)
         return out
 
@@ -1063,6 +1154,7 @@ class LIOPipeline:
             self.state, out = odometry_step_packed_pre(
                 self.cfg, self.state, ds_buf, imu_buf, meta, mesh=self.mesh,
                 skip_insert=self._skip_insert(idx))
+        out = HostFrameOutput(out)
         self.outputs.append(out)
         self.times.append(t0)
         self.frame_timings.append({
@@ -1121,6 +1213,7 @@ class LIOPipeline:
             with self.timer.span("dispatch"):
                 self.state, out = step(self.cfg, self.state, b0, b1, b2,
                                        mesh=self.mesh)
+            out = HostFrameOutput(out)
             self.outputs.append(out)
             self.times.append(t)
             self.frame_timings.append({
@@ -1136,7 +1229,7 @@ class LIOPipeline:
         per_frame = self.timer.last.get("dispatch", 0.0) / len(items)
         last = None
         for i, it in enumerate(items):
-            last = jax.tree.map(lambda a, i=i: a[i], outs)
+            last = HostFrameOutput(jax.tree.map(lambda a, i=i: a[i], outs))
             self.outputs.append(last)
             self.times.append(it[3])
             self.frame_timings.append(
@@ -1159,6 +1252,7 @@ class LIOPipeline:
             with self.timer.span("dispatch"):
                 self.state, out = step(self.cfg, self.state, b0, b1, b2,
                                        mesh=self.mesh)
+            out = HostFrameOutput(out)
             self.outputs.append(out)
             self.times.append(t)
             self.frame_timings.append({

@@ -621,3 +621,48 @@ class TestFastPathDeskew:
         assert ate_fast < 0.15, (ate_fast, ate_slow, ate_raw)
         assert ate_fast < 1.5 * ate_slow + 0.02, (ate_fast, ate_slow)
         assert ate_fast < ate_raw, (ate_fast, ate_raw)
+
+
+class TestPackedFrameOutput:
+    def test_pack_roundtrip_every_field(self, rng):
+        """HostFrameOutput must serve every FrameOutput field bit-exactly
+        from the two fused buffers (the packing exists because ~19 tiny
+        output buffers cost ~2.2 ms/frame of fixed per-buffer copy overhead
+        on the tunnel backend — BASELINE.md round 4)."""
+        import jax.numpy as jnp
+
+        p, h = 8, 3
+        vals = {}
+        for name, shape in pl._PACK_F32:
+            vals[name] = jnp.asarray(
+                rng.normal(size=shape or ()).astype(np.float32))
+        for i, name in enumerate(pl._PACK_I32):
+            if name == "align_ok":
+                vals[name] = jnp.asarray(True)
+            else:
+                vals[name] = jnp.asarray(10 + i, jnp.int32)
+        out = pl.FrameOutput(
+            particles=jnp.asarray(rng.normal(size=(p, 6)).astype(np.float32)),
+            weights=jnp.full((p,), 1.0 / p, jnp.float32),
+            history=jnp.zeros((h, p, 6), jnp.float32),
+            **vals)
+        packed = pl.pack_output(out)
+        assert packed.small.shape == (pl._PACK_F32_LEN,)
+        host = pl.HostFrameOutput(packed)
+        for name, shape in pl._PACK_F32:
+            got = np.asarray(getattr(host, name))
+            np.testing.assert_array_equal(got, np.asarray(getattr(out, name)),
+                                          err_msg=name)
+            assert got.shape == tuple(shape), name
+        for name in pl._PACK_I32:
+            want = getattr(out, name)
+            got = getattr(host, name)
+            if name == "align_ok":
+                assert got is True
+            else:
+                assert int(got) == int(want), name
+        np.testing.assert_array_equal(np.asarray(host.particles),
+                                      np.asarray(out.particles))
+        assert host.history.shape == (h, p, 6)
+        with pytest.raises(AttributeError):
+            host.not_a_field

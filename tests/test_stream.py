@@ -176,3 +176,63 @@ class TestPlayback:
         recs = [json.loads(ln) for ln in open(out)]
         kinds = {r["_type"] for r in recs}
         assert "RuntimeRecord" in kinds and "VarianceRecord" in kinds
+
+
+class TestProxyDataset:
+    def test_record_proxy_roundtrip(self, tmp_path):
+        """The realistic-proxy recorder (motion-distorted HDL-64 raycast
+        sweeps + noisy IMU) writes a playable SVNL log: interleaved packet
+        order, per-point times in [0,1], genuine motion distortion (points
+        change with sweep fraction), mid-sweep ground truth."""
+        from svnicp_tpu.io import stream as sm
+        from svnicp_tpu.io.stream import CloudPacket, ImuPacket, StreamReader
+
+        path = str(tmp_path / "proxy.svnl")
+        gt = sm.record_proxy(path, n_frames=2, col_step=45, imu_rate=50.0,
+                             dropout=0.0, extent=30.0)
+        assert gt.shape == (2, 4, 4)
+        clouds, imus = [], []
+        last_cloud_stamp = None
+        with open(path, "rb") as f:
+            for pkt in StreamReader(f):
+                if isinstance(pkt, CloudPacket):
+                    clouds.append(pkt)
+                    last_cloud_stamp = pkt.stamp
+                else:
+                    imus.append(pkt)
+        assert len(clouds) == 2 and len(imus) >= 8
+        for c in clouds:
+            assert len(c.points) > 500
+            assert c.timestamps is not None
+            assert 0.0 <= c.timestamps.min() and c.timestamps.max() <= 1.0
+            # a rotating sweep covers (almost) the full [0,1) fraction range
+            assert c.timestamps.max() - c.timestamps.min() > 0.8
+        # scans stamped mid-sweep: stamp sits strictly between IMU stamps
+        assert any(i.stamp < last_cloud_stamp for i in imus)
+        assert any(i.stamp > last_cloud_stamp for i in imus)
+        # IMU noise/bias present: gyro of a (near-)planar trajectory is not
+        # identically the clean rates (bias alone shifts the mean)
+        g = np.stack([i.gyro for i in imus])
+        assert g.std(axis=0).max() > 1e-4
+
+    def test_raycast_sweep_is_motion_distorted(self):
+        """The same world rendered with and without inter-sweep motion must
+        differ: column poses move along the sweep (the distortion deskew
+        inverts). Static pose0==pose1 must agree with plain raycasting."""
+        from svnicp_tpu.io import datasets
+
+        world = datasets.SyntheticWorld(extent=30.0, seed=2)
+        r = np.eye(3)
+        t0 = np.array([0.0, 0.0, 0.8])
+        t1 = t0 + np.array([1.5, 0.0, 0.0])     # fast sweep motion
+        pts_static, tau_s, (mr, mt) = datasets.raycast_sweep(
+            world._surfaces, r, t0, r, t0, col_step=45, noise=0.0,
+            rng=np.random.default_rng(0))
+        pts_moving, tau_m, (mr2, mt2) = datasets.raycast_sweep(
+            world._surfaces, r, t0, r, t1, col_step=45, noise=0.0,
+            rng=np.random.default_rng(0))
+        np.testing.assert_allclose(mt, t0, atol=1e-6)
+        np.testing.assert_allclose(mt2, t0 + [0.75, 0, 0], atol=1e-6)
+        # late-sweep columns observed from a moved pose -> different returns
+        assert pts_static.shape != pts_moving.shape or not np.allclose(
+            pts_static, pts_moving, atol=1e-3)
