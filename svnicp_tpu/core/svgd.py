@@ -111,6 +111,22 @@ def align(
     use_mb = cfg.use_minibatch and 0 < cfg.batch_size < source.shape[0]
     bsz = cfg.batch_size if use_mb else source.shape[0]
 
+    # fused Pallas 1-NN (TPU): the per-iteration [P,B,K] distance chain is
+    # the whole cost of an SVGD epoch (the reference brute-forces it on GPU
+    # every iteration too, SVGDICP.cpp:300-329); fused_nn_match computes the
+    # match + matched points in one VMEM pass. Full-batch only (minibatch
+    # re-gathers candidate rows per iteration) at the kernel's tile shapes.
+    use_kernel = (cfg.use_pallas and svn_mod._pallas_ok() and not use_mb
+                  and source.dtype == jnp.float32
+                  and p % 8 == 0 and source.shape[0] % 256 == 0)
+    if use_kernel:
+        from svnicp_tpu.kernels import nn_pallas
+
+        cand_pad, cval_pad = nn_pallas.pad_candidates(cand_pts, cand_valid,
+                                                      multiple=128)
+        feat_k, bias_k = svn_mod.correspondence_features(
+            source, cand_pad, cval_pad)
+
     def iteration(state: _State):
         params = state.params
         if use_mb:
@@ -131,9 +147,16 @@ def align(
             jnp.einsum("pij,bj->pbi", r_total, src, precision=jax.lax.Precision.HIGHEST)
             + t_total[:, None, :]
         )
-        nn_idx, nn_d2 = knn.nn_among_candidates(transformed, cpts, cval)
-        b_idx = jnp.arange(src.shape[0])[None, :]
-        matched = cpts[b_idx, nn_idx]
+        if use_kernel:
+            params12 = jnp.concatenate([r_total.reshape(p, 9), t_total],
+                                       axis=-1)
+            matched, best = nn_pallas.fused_nn_match(
+                params12, feat_k, bias_k, cand_pad, particle_tile=8)
+            nn_d2 = best + jnp.sum(transformed * transformed, axis=-1)
+        else:
+            nn_idx, nn_d2 = knn.nn_among_candidates(transformed, cpts, cval)
+            b_idx = jnp.arange(src.shape[0])[None, :]
+            matched = cpts[b_idx, nn_idx]
         pair_valid = (nn_d2 < cfg.max_dist) & sv[None, :]
 
         g = _sgd_grad(cfg, params, src, transformed, matched, pair_valid, r0,

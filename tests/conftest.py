@@ -80,6 +80,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Retry tests whose xdist WORKER crashed (once each): the known flaky
+# SIGSEGV lives in XLA:CPU's parallel LLVM ORC JIT during backend_compile —
+# it strikes a random test late in a long run and is unrelated to the test
+# itself (see the ISA/codegen mitigations above and pyproject's -n 4
+# rationale). With process isolation the crash costs one worker; this hook
+# (pytest-xdist >= 3.3) reschedules the victim test on a fresh worker
+# instead of reporting a spurious failure. A genuine per-test crash still
+# fails on its second run.
+_crash_retried = set()
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    if crashitem not in _crash_retried:
+        _crash_retried.add(crashitem)
+        sched.mark_test_pending(crashitem)
+        report.outcome = "rerun"
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

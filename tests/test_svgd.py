@@ -65,3 +65,43 @@ def test_single_particle_plain_descent(rng):
     true_xi = np.array([0.05, -0.03, 0.02, 0.005, 0.0, 0.01])
     res, rc, tc, r_true, t_true = recover(cfg, cloud, true_xi)
     assert np.linalg.norm(tc - t_true) < 0.05
+
+
+def test_fused_nn_kernel_path_matches_xla(rng, monkeypatch):
+    """The SVGD fused-1-NN path (use_pallas on TPU) must reproduce the XLA
+    path's trajectory: force the kernel gate open on CPU and run the Pallas
+    kernel in interpret mode, then compare full align() results."""
+    import functools
+
+    from svnicp_tpu.core import svn as svn_mod
+    from svnicp_tpu.kernels import nn_pallas
+
+    cloud = make_structured_cloud(rng, n=256)     # B = 256 (kernel tile)
+    cfg = dataclasses.replace(CFG, particle_count=8, iterations=25,
+                              knn_count=16, use_pallas=True)
+    true_xi = np.array([0.06, -0.04, 0.02, 0.006, 0.0, 0.012])
+    r_true, t_true = geo.se3_exp(jnp.asarray(true_xi, jnp.float32))
+    target = geo.transform_points(r_true, t_true, jnp.asarray(cloud))
+    from svnicp_tpu.core import svn
+
+    init = svn.init_particles_uniform(jax.random.PRNGKey(1), 8,
+                                      cfg.init_lb, cfg.init_ub)
+    args = (jnp.asarray(cloud), jnp.ones(len(cloud), bool),
+            target, jnp.ones(len(target), bool),
+            jnp.eye(3), jnp.zeros(3), init)
+
+    res_xla = svgd.register(dataclasses.replace(cfg, use_pallas=False), *args)
+
+    monkeypatch.setattr(svn_mod, "_pallas_ok", lambda: True)
+    monkeypatch.setattr(
+        nn_pallas, "fused_nn_match",
+        functools.partial(nn_pallas.fused_nn_match.__wrapped__,
+                          interpret=True))
+    res_k = svgd.register(cfg, *args)
+
+    assert int(res_k.iterations) == int(res_xla.iterations)
+    np.testing.assert_allclose(np.asarray(res_k.mean),
+                               np.asarray(res_xla.mean), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res_k.particles),
+                               np.asarray(res_xla.particles),
+                               rtol=2e-3, atol=2e-4)
