@@ -270,6 +270,13 @@ class PoseGraphConfig:
     # to their new owners over the rebalance ring pass
     # (voxmap_sharded.sharded_reanchor).
     reanchor: bool = False
+    # sanity bound on a single re-anchor translation [m]: a legitimate loop
+    # correction is on the scale of accumulated odometry drift; when
+    # odometry is fully LOST, loop registrations can converge in wrong
+    # basins and "corrections" grow unbounded — applying one through the
+    # rigid map move destroys the state. Non-finite or larger-than-bound
+    # corrections are rejected (pipeline.reanchors_rejected counts them).
+    max_reanchor_correction: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -342,6 +342,27 @@ def synthetic_trajectory(n_frames: int, dt: float = 0.1, speed: float = 1.5,
     return times, rots, pos
 
 
+def circular_trajectory(n_samples: int, dt: float, radius: float,
+                        angular_rate: float, z: float = 0.8):
+    """Constant-rate circle through fresh territory (the loop-closure
+    scenario: with the scan range capped below the circle diameter, heading
+    error compounds into real accumulated drift until the start region
+    comes back into view — see tests/test_checkpoint_posegraph.py).
+    Starts at the origin heading +x, circling counter-clockwise about
+    (0, radius). Returns (times [N], rotations [N,3,3], translations [N,3]).
+    """
+    times = np.arange(n_samples) * dt
+    theta = angular_rate * times
+    center = np.array([0.0, radius, z])
+    trans = center[None] + radius * np.stack(
+        [np.sin(theta), -np.cos(theta), np.zeros(n_samples)], 1)
+    rots = np.zeros((n_samples, 3, 3))
+    c, s = np.cos(theta), np.sin(theta)
+    for i in range(n_samples):
+        rots[i] = [[c[i], -s[i], 0], [s[i], c[i], 0], [0, 0, 1]]
+    return times, rots, trans
+
+
 def synthetic_imu(times, rots, trans, gravity: float):
     """IMU samples consistent with a discrete trajectory (midpoint rates).
 

@@ -878,6 +878,7 @@ class LIOPipeline:
         self._keyframe_clouds: list[tuple[np.ndarray, np.ndarray]] = []
         self.loop_closures: list[tuple[int, int]] = []
         self.reanchors = 0
+        self.reanchors_rejected = 0
         if self.cfg.posegraph.enabled:
             from svnicp_tpu.runtime.posegraph import PoseGraph
 
@@ -1340,7 +1341,18 @@ class LIOPipeline:
         the voxel map) by a world-frame correction. On the sharded map the
         move runs distributed: per-shard re-key + the rebalance ring pass
         (`voxmap_sharded.sharded_reanchor`) routes rows whose new key left
-        the shard's range to their owner; boundaries stay fixed."""
+        the shard's range to their owner; boundaries stay fixed.
+
+        A non-finite correction is REJECTED, not applied: when odometry is
+        fully lost, spurious "loop" registrations can converge in a wrong
+        basin and the optimized graph can go non-finite — feeding that into
+        the live map would destroy the one state that could still recover."""
+        bound = self.cfg.posegraph.max_reanchor_correction
+        if not (np.isfinite(np.asarray(delta_r)).all()
+                and np.isfinite(np.asarray(delta_t)).all()
+                and np.linalg.norm(delta_t) <= bound):
+            self.reanchors_rejected += 1
+            return
         dt = jnp.dtype(self.cfg.dtype)
         dr_j, dt_j = jnp.asarray(delta_r, dt), jnp.asarray(delta_t, dt)
         sharded_map = self.mesh is not None and self.cfg.map.sharded

@@ -232,3 +232,31 @@ def test_stage_timer():
         pass
     assert t.counts["a"] == 2 and t.counts["b"] == 1
     assert "a=" in t.report()
+
+
+class TestReanchorGuards:
+    def test_non_finite_delta_rejected(self):
+        """A non-finite loop correction must never touch the live state:
+        when odometry is fully lost, spurious loop registrations can
+        converge in a wrong basin and the optimized graph can go
+        non-finite — applying that through the rigid map move would destroy
+        the one state that could still recover (observed on a hard
+        proxy-loop scenario before this guard)."""
+        cfg = small_cfg()
+        pipe = pl.LIOPipeline(cfg)
+        before = jax.tree.map(np.asarray, pipe.state.vmap)
+        pipe.apply_reanchor(np.full((3, 3), np.nan), np.zeros(3))
+        pipe.apply_reanchor(np.eye(3), np.array([np.inf, 0.0, 0.0]))
+        assert pipe.reanchors == 0
+        assert pipe.reanchors_rejected == 2
+        np.testing.assert_array_equal(np.asarray(pipe.state.vmap.key),
+                                      before.key)
+
+    def test_oversized_correction_rejected(self):
+        cfg = small_cfg(posegraph=cfg_mod.PoseGraphConfig(
+            max_reanchor_correction=2.0))
+        pipe = pl.LIOPipeline(cfg)
+        pipe.apply_reanchor(np.eye(3), np.array([5.0, 0.0, 0.0]))
+        assert pipe.reanchors == 0 and pipe.reanchors_rejected == 1
+        pipe.apply_reanchor(np.eye(3), np.array([0.5, 0.0, 0.0]))
+        assert pipe.reanchors == 1

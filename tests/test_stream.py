@@ -236,3 +236,26 @@ class TestProxyDataset:
         # late-sweep columns observed from a moved pose -> different returns
         assert pts_static.shape != pts_moving.shape or not np.allclose(
             pts_static, pts_moving, atol=1e-3)
+
+    def test_record_proxy_loop_path(self, tmp_path):
+        """`path_shape='loop'` writes a circle that closes: ground truth
+        returns to the start pose after one revolution, and scans honor the
+        capped range (the closure scenario needs range < diameter)."""
+        from svnicp_tpu.io import stream as sm
+        from svnicp_tpu.io.stream import CloudPacket, StreamReader
+
+        path = str(tmp_path / "loop.svnl")
+        # speed pi/2 at radius 1 -> circle closes at t=4 s = frame 40
+        gt = sm.record_proxy(path, n_frames=41, frame_dt=0.1, imu_rate=20.0,
+                             speed=np.pi / 2, path_shape="loop",
+                             loop_radius=1.0, scan_range=5.0, extent=8.0,
+                             col_step=90, dropout=0.0)
+        d_close = np.linalg.norm(gt[40, :3, 3] - gt[0, :3, 3])
+        d_far = np.linalg.norm(gt[20, :3, 3] - gt[0, :3, 3])
+        assert d_close < 0.1 and d_far > 1.5
+        with open(path, "rb") as f:
+            for pkt in StreamReader(f):
+                if isinstance(pkt, CloudPacket) and len(pkt.points):
+                    r = np.linalg.norm(pkt.points, axis=1)
+                    assert r.max() < 5.5    # scan_range + noise
+                    break
