@@ -127,10 +127,11 @@ def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = Fals
         early_stop: bool = True, residual: str = "point_to_point",
         batch: int = 1, segmentation: bool = False, icp_method: str = "svn",
         insert_every: int = 1, stein_kernel: bool = True, repeat: int = 1):
-    """Measure fps; with repeat > 1 the (expensive) world/scan generation and
-    jit compiles are shared across samples — each sample runs a FRESH
-    pipeline over the same scans — and the returned list holds one fps per
-    sample (caller takes the median)."""
+    """Measure fps. Returns a LIST with one sample per repeat (callers take
+    the median / [0]). With repeat > 1 the (expensive) world/scan
+    generation and jit compiles are shared across samples — each sample
+    runs a FRESH pipeline over the same scans — and one un-recorded
+    throwaway pass runs first (see below)."""
     import numpy as _np
 
     from svnicp_tpu.runtime import pipeline as _pl
@@ -164,7 +165,7 @@ def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = Fals
         dt = time.perf_counter() - t0
         if rep >= 0:
             samples.append((n_frames - warmup) / dt)
-    return samples if repeat > 1 else samples[0]
+    return samples
 
 
 def main():
@@ -226,7 +227,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        fps = run(n_frames=args.frames or 6, warmup=2)
+        fps = run(n_frames=args.frames or 6, warmup=2)[0]
         rec = {"metric": "cpu_baseline_frames_per_sec", "value": round(fps, 4),
                "unit": "frames/s", "vs_baseline": 1.0,
                "date": datetime.date.today().isoformat()}
@@ -248,7 +249,7 @@ def main():
     timed = 40 if args.batch <= 1 else ((40 + args.batch - 1) // args.batch) * args.batch
     if args.segmentation:
         timed = min(timed, 20)    # raycast generation is the setup cost
-    out = run(
+    samples = run(
         n_frames=args.frames or (warmup + timed), warmup=warmup,
         use_pallas=not args.no_pallas,
         candidate_method=args.method, iterations=args.iters,
@@ -257,7 +258,6 @@ def main():
         segmentation=args.segmentation, icp_method=args.icp_method,
         insert_every=args.insert_every,
         stein_kernel=not args.no_stein_kernel, repeat=args.repeat)
-    samples = out if isinstance(out, list) else [out]
     fps = float(np.median(samples))
     metric = "lidar_frames_per_sec_per_chip_64_particles"
     if args.segmentation:

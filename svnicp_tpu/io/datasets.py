@@ -150,11 +150,11 @@ def raycast_scan(surfaces, pose_r: np.ndarray, pose_t: np.ndarray,
         denom = dirs_w @ n
         with np.errstate(divide="ignore", invalid="ignore"):
             t = ((o - pose_t) @ n) / denom
-        p = pose_t[None] + t[:, None] * dirs_w
-        a = (p - o[None]) @ u
-        b = (p - o[None]) @ v
-        hit = (np.abs(denom) > 1e-9) & (t > 0.3) & (t < max_range) \
-            & (a >= 0) & (a <= ul) & (b >= 0) & (b <= vl)
+            p = pose_t[None] + t[:, None] * dirs_w
+            a = (p - o[None]) @ u
+            b = (p - o[None]) @ v
+            hit = (np.abs(denom) > 1e-9) & (t > 0.3) & (t < max_range) \
+                & (a >= 0) & (a <= ul) & (b >= 0) & (b <= vl)
         best_t = np.where(hit & (t < best_t), t, best_t)
     ok = np.isfinite(best_t)
     pts = best_t[ok, None] * dirs[ok]
@@ -232,13 +232,15 @@ def raycast_sweep(surfaces, pose0_r, pose0_t, pose1_r, pose1_t,
         for (o, u, v, ul, vl) in surfaces:
             n = np.cross(u, v)
             denom = dirs_w @ n
+            # inf/NaN from near-parallel rays stay inside the errstate
+            # guard (t is inf where denom ~ 0; the hit mask discards them)
             with np.errstate(divide="ignore", invalid="ignore"):
                 t = ((o - tg) @ n) / denom
-            p = tg[None] + t[:, None] * dirs_w
-            a = (p - o[None]) @ u
-            b = (p - o[None]) @ v
-            hit = (np.abs(denom) > 1e-9) & (t > 0.3) & (t < max_range) \
-                & (a >= 0) & (a <= ul) & (b >= 0) & (b <= vl)
+                p = tg[None] + t[:, None] * dirs_w
+                a = (p - o[None]) @ u
+                b = (p - o[None]) @ v
+                hit = (np.abs(denom) > 1e-9) & (t > 0.3) & (t < max_range) \
+                    & (a >= 0) & (a <= ul) & (b >= 0) & (b <= vl)
             best_t = np.where(hit & (t < best_t), t, best_t)
         ok = np.isfinite(best_t)
         if dropout > 0:

@@ -508,7 +508,16 @@ def _odometry_step_impl(
     # filtered measurement covariance for the whole following window)
     align_ok = (jnp.isfinite(result.mean).all()
                 & jnp.isfinite(result.var).all()
-                & jnp.isfinite(result.grad_norm))
+                & jnp.isfinite(result.grad_norm)
+                # runaway containment: a FINAL iteration still moving at the
+                # trust-region cap means every particle was clipped — the
+                # ensemble was being dragged, not converging (rank-deficient
+                # H after the particles left the correspondence gate; since
+                # the Cholesky pivot floor such frames produce finite garbage
+                # instead of the NaN that used to trip the isfinite check
+                # haphazardly). Treat exactly like a non-finite alignment:
+                # fall back to the prediction, leave map/filter/rings alone.
+                & (result.grad_norm < 0.999 * cfg.icp.max_dist))
 
     var_mean = smoother.mean_filtered(state.rings)          # excludes current
     pushed = smoother.push(state.rings, raw_var, scaled_var)
@@ -1314,11 +1323,22 @@ class LIOPipeline:
             kf_idx > 0 and kf_idx % self.cfg.posegraph.optimize_every == 0
             and self.loop_closures
         ):
-            before_r = self.posegraph.nodes_r[-1].copy()
-            before_t = self.posegraph.nodes_t[-1].copy()
+            # snapshot ALL nodes, not just the last: if the optimized
+            # correction is rejected by apply_reanchor's sanity guard, the
+            # graph must roll back too — otherwise its nodes live in the
+            # optimized frame while new keyframes keep arriving in the
+            # uncorrected live frame, every subsequent optimize sees the
+            # un-applied jump as apparent motion, and reanchoring stays
+            # wedged (huge corrections re-rejected) for the rest of the run
+            snap_r = [r.copy() for r in self.posegraph.nodes_r]
+            snap_t = [t.copy() for t in self.posegraph.nodes_t]
             self.posegraph.optimize(iterations=8)
             if self.cfg.posegraph.reanchor:
-                self._reanchor_live(before_r, before_t)
+                rejected_before = self.reanchors_rejected
+                self._reanchor_live(snap_r[-1], snap_t[-1])
+                if self.reanchors_rejected != rejected_before:
+                    self.posegraph.nodes_r = snap_r
+                    self.posegraph.nodes_t = snap_t
 
     def _reanchor_live(self, before_r: np.ndarray, before_t: np.ndarray) -> None:
         """Apply the last keyframe's optimization delta to the LIVE estimate:
@@ -1348,9 +1368,15 @@ class LIOPipeline:
         basin and the optimized graph can go non-finite — feeding that into
         the live map would destroy the one state that could still recover."""
         bound = self.cfg.posegraph.max_reanchor_correction
-        if not (np.isfinite(np.asarray(delta_r)).all()
-                and np.isfinite(np.asarray(delta_t)).all()
-                and np.linalg.norm(delta_t) <= bound):
+        dr_np, dt_np = np.asarray(delta_r), np.asarray(delta_t)
+        # rotation bound: a legitimate closure correction's rotation is
+        # drift-scale; 1 rad of heading correction means the system was
+        # already lost (bound fixed rather than configurable — no sane
+        # operating point wants rigid map rotations beyond it)
+        cos_a = np.clip((np.trace(dr_np) - 1.0) / 2.0, -1.0, 1.0)
+        if not (np.isfinite(dr_np).all() and np.isfinite(dt_np).all()
+                and np.linalg.norm(dt_np) <= bound
+                and np.arccos(cos_a) <= 1.0):
             self.reanchors_rejected += 1
             return
         dt = jnp.dtype(self.cfg.dtype)
