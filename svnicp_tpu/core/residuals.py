@@ -150,7 +150,15 @@ def plane_normals(
 
     # planar fit quality: enough points, anisotropic scatter, non-degenerate
     # eigenvector extraction
-    valid = (n >= 3.0) & (p > 1e-12) & (norm[..., 0] > 1e-12)
+    # collinearity gate: a plane fit needs 2-D spread — a near-rank-1
+    # scatter (neighbors along one scan-ring arc) has an arbitrary smallest
+    # eigenvector, so such fits are rejected by requiring the middle
+    # eigenvalue to carry >= 5% of the largest. Validity guard only:
+    # measured bit-neutral on isotropically-sampled scans and it does NOT
+    # fix the capped-range raycast drift (BASELINE.md negative result —
+    # post-downsample neighborhoods there are 2-D enough to pass).
+    valid = ((n >= 3.0) & (p > 1e-12) & (norm[..., 0] > 1e-12)
+             & (lam_mid > 0.05 * lam_hi))
     return normals, valid
 
 
