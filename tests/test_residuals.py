@@ -126,3 +126,21 @@ def test_cholesky_solve6_floor_bit_neutral_on_spd(rng):
     want = np.linalg.solve(h.astype(np.float64),
                            b.astype(np.float64)[..., None])[..., 0]
     np.testing.assert_allclose(x, want, rtol=2e-3, atol=1e-5)
+
+
+def test_plane_normals_reject_collinear_neighborhoods(rng):
+    """A plane fit from neighbors along ONE scan-ring arc is rank-1 — its
+    smallest eigenvector is arbitrary, so the fit must be flagged invalid
+    (the collinearity gate); a genuinely planar 2-D patch stays valid."""
+    k = 16
+    t = np.linspace(0, 1.5, k)[:, None]
+    arc = np.concatenate([t, 0.05 * t ** 2, np.zeros((k, 1))], 1)  # near-line
+    patch = np.concatenate([rng.uniform(0, 1, (k, 2)), np.zeros((k, 1))], 1)
+    cand = jnp.asarray(np.stack([arc, patch]), jnp.float32)  # [2,K,3]
+    cand = cand + jnp.asarray(rng.normal(scale=1e-3, size=(2, k, 3)),
+                              jnp.float32)
+    normals, valid = residuals.plane_normals(cand, jnp.ones((2, k), bool))
+    assert not bool(valid[0]), "collinear arc must be rejected"
+    assert bool(valid[1]), "planar patch must stay valid"
+    np.testing.assert_allclose(np.abs(np.asarray(normals[1])),
+                               [0.0, 0.0, 1.0], atol=0.05)
