@@ -194,7 +194,6 @@ def rebalance(
 
     def body(points_l, key_l, valid_l, splits):
         me = jax.lax.axis_index(sharding.POINT_AXIS)
-        cl = key_l.shape[0]
         cnt = jnp.sum(valid_l).astype(jnp.int32)
         counts = jax.lax.all_gather(cnt, sharding.POINT_AXIS)      # [S]
         total = jnp.sum(counts)
