@@ -152,11 +152,13 @@ def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = Fals
         if rep > first:
             pipe = _pl.LIOPipeline(pipe.cfg)
         # warmup (compile + first-frame bootstrap; flush drains batched mode)
+        out = None
         for i in range(warmup):
-            out = pipe.feed_scan(float(times[i]), scans[i])
+            out = pipe.feed_scan(float(times[i]), scans[i]) or out
         out = pipe.flush() or out
-        _np.asarray(out.pose_t)     # hard sync: block_until_ready alone is
-                                    # unreliable over the axon tunnel
+        if out is not None:
+            _np.asarray(out.pose_t)  # hard sync: block_until_ready alone is
+                                     # unreliable over the axon tunnel
         t0 = time.perf_counter()
         for i in range(warmup, n_frames):
             out = pipe.feed_scan(float(times[i]), scans[i]) or out

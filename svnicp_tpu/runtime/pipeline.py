@@ -107,84 +107,16 @@ def _hist_len(cfg: PipelineConfig) -> int:
     return cfg.icp.iterations if cfg.save_particles else 0
 
 
-# ---------------------------------------------------------------------------
-# Packed frame output: every small FrameOutput leaf fused into ONE f32 + ONE
-# i32 buffer. On the remote-tunnel backend each distinct output buffer of a
-# jitted step costs a fixed ~0.15-0.47 ms copy-start/copy-done pair
-# INDEPENDENT of its size (measured 2.18 ms/frame across the ~19 tiny
-# leaves — 28% of device time, tools/profile_step.py round 4; the same
-# per-buffer overhead class as the round-3 donation find). Packing turns
-# them into 2 buffers; the host reads fields through the lazy
-# HostFrameOutput facade, which fetches each fused buffer once on first
-# access and serves zero-copy numpy views after.
-# ---------------------------------------------------------------------------
-
-_PACK_F32 = (
-    ("pose_r", (3, 3)), ("pose_t", (3,)), ("guess_r", (3, 3)),
-    ("guess_t", (3,)), ("velocity", (3,)), ("var_icp", (6,)),
-    ("var_mean", (6,)), ("var_max_sliding", (6,)), ("var_random_walk", (6,)),
-    ("cov", (6, 6)), ("icp_grad_norm", ()), ("kf_gain", (15, 6)),
-    ("kf_cov_diag", (15,)),
+# packed frame output + lazy host facade: runtime/packing.py (split out in
+# round 5); re-exported here because the wire format is part of the step
+# entry points' contract (tests and callers read them via this module)
+from svnicp_tpu.runtime.packing import (  # noqa: E402
+    _PACK_F32, _PACK_F32_LEN, _PACK_I32, _PACK_OFFSETS,
+    HostFrameOutput, PackedFrameOutput, pack_output,
 )
-_PACK_I32 = ("icp_iterations", "align_ok", "map_points", "map_dropped",
-             "target_overflow", "imu_dropped")
-_PACK_OFFSETS = {}
-_off = 0
-for _name, _shape in _PACK_F32:
-    _sz = int(np.prod(_shape)) if _shape else 1
-    _PACK_OFFSETS[_name] = (_off, _sz, _shape)
-    _off += _sz
-_PACK_F32_LEN = _off
-del _off, _name, _shape, _sz
-
-
-class PackedFrameOutput(NamedTuple):
-    small: jax.Array       # [_PACK_F32_LEN] cfg dtype (see _PACK_F32 layout)
-    ints: jax.Array        # [len(_PACK_I32)] int32
-    particles: jax.Array   # [P,6]
-    weights: jax.Array     # [P]
-    history: jax.Array     # [H,P,6]
-
-
-def pack_output(out: FrameOutput) -> PackedFrameOutput:
-    dt = out.pose_t.dtype
-    small = jnp.concatenate(
-        [jnp.ravel(getattr(out, n)).astype(dt) for n, _ in _PACK_F32])
-    ints = jnp.stack(
-        [jnp.asarray(getattr(out, n)).astype(jnp.int32) for n in _PACK_I32])
-    return PackedFrameOutput(small, ints, out.particles, out.weights,
-                             out.history)
-
-
-class HostFrameOutput:
-    """Lazy FrameOutput facade over a PackedFrameOutput (field-compatible:
-    `out.pose_t`, `out.align_ok`, ... all work). Big leaves (particles,
-    weights, history) pass through as device arrays."""
-
-    __slots__ = ("_packed", "_small", "_ints")
-
-    def __init__(self, packed: PackedFrameOutput):
-        self._packed = packed
-        self._small = None
-        self._ints = None
-
-    def __getattr__(self, name):
-        if name in ("particles", "weights", "history"):
-            return getattr(self._packed, name)
-        if name in _PACK_OFFSETS:
-            if self._small is None:
-                object.__setattr__(self, "_small",
-                                   np.asarray(self._packed.small))
-            off, sz, shape = _PACK_OFFSETS[name]
-            v = self._small[off:off + sz]
-            return v.reshape(shape) if shape else v[0]
-        if name in _PACK_I32:
-            if self._ints is None:
-                object.__setattr__(self, "_ints",
-                                   np.asarray(self._packed.ints))
-            v = self._ints[_PACK_I32.index(name)]
-            return bool(v) if name == "align_ok" else v
-        raise AttributeError(name)
+from svnicp_tpu.runtime.posegraph_driver import (  # noqa: E402
+    PoseGraphDriver, _reanchor_state,
+)
 
 
 def _map_shards(cfg: PipelineConfig) -> int:
@@ -508,16 +440,21 @@ def _odometry_step_impl(
     # filtered measurement covariance for the whole following window)
     align_ok = (jnp.isfinite(result.mean).all()
                 & jnp.isfinite(result.var).all()
-                & jnp.isfinite(result.grad_norm)
-                # runaway containment: a FINAL iteration still moving at the
-                # trust-region cap means every particle was clipped — the
-                # ensemble was being dragged, not converging (rank-deficient
-                # H after the particles left the correspondence gate; since
-                # the Cholesky pivot floor such frames produce finite garbage
-                # instead of the NaN that used to trip the isfinite check
-                # haphazardly). Treat exactly like a non-finite alignment:
-                # fall back to the prediction, leave map/filter/rings alone.
-                & (result.grad_norm < 0.999 * cfg.icp.max_dist))
+                & jnp.isfinite(result.grad_norm))
+    if cfg.icp.method == "svn":
+        # runaway containment: a FINAL iteration still moving at the
+        # trust-region cap means every particle was clipped — the
+        # ensemble was being dragged, not converging (rank-deficient
+        # H after the particles left the correspondence gate; since
+        # the Cholesky pivot floor such frames produce finite garbage
+        # instead of the NaN that used to trip the isfinite check
+        # haphazardly). Treat exactly like a non-finite alignment:
+        # fall back to the prediction, leave map/filter/rings alone.
+        # SVN-only: clip_step bounds the svn mean step norm at max_dist,
+        # so grad_norm ~= cap is unambiguous there; svgd's diff_norm is an
+        # unclipped optimizer step (can exceed any cap while converging
+        # normally) and svd's is a pose delta — neither has this semantic.
+        align_ok = align_ok & (result.grad_norm < 0.999 * cfg.icp.max_dist)
 
     var_mean = smoother.mean_filtered(state.rings)          # excludes current
     pushed = smoother.push(state.rings, raw_var, scaled_var)
@@ -777,57 +714,8 @@ def odometry_steps_packed_pre(cfg: PipelineConfig, state: OdometryState,
     return jax.lax.scan(body, state, (ds_bufs, imu_bufs, metas))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "move_map"))
-def _reanchor_state(cfg: PipelineConfig, state: OdometryState,
-                    delta_r: jax.Array, delta_t: jax.Array,
-                    move_map: bool = True) -> OdometryState:
-    """Rigidly move the persistent odometry state by a world-frame correction
-    (pose-graph re-anchor): pose history, ESKF nav state, and the voxel map
-    (keys recomputed, table re-sorted to restore the key-sorted invariant).
-
-    The ESKF covariance is left untouched: every error state in this filter
-    is BODY-frame (pose injection T*exp(delta), velocity r_new @ dv —
-    core/eskf.py update), so a left world-frame rigid move does not rotate
-    the error distribution. The world-frame velocity does rotate.
-
-    ``move_map=False`` skips the map move for the sharded-map mode, where
-    the map lives in key-range blocks and moves via
-    `voxmap_sharded.sharded_reanchor` (its own collective dispatch).
-    """
-    dtype = jnp.dtype(cfg.dtype)
-    dr = delta_r.astype(dtype)
-    dt = delta_t.astype(dtype)
-
-    def move(r, t):
-        return dr @ r, dr @ t + dt
-
-    pose_r, pose_t = move(state.pose_r, state.pose_t)
-    prev_r, prev_t = move(state.prev_r, state.prev_t)
-    nav = state.eskf.nav
-    nav_r, nav_t = move(nav.r, nav.t)
-    ekf = state.eskf._replace(
-        nav=imu_mod.NavState(nav_r, nav_t, dr @ nav.v))
-    state = state._replace(
-        pose_r=pose_r, pose_t=pose_t, prev_r=prev_r, prev_t=prev_t, eskf=ekf)
-    if not move_map:
-        return state
-
-    from svnicp_tpu.core.pointcloud import INVALID_KEY, voxel_key
-
-    pts = state.vmap.points @ dr.T + dt[None, :]
-    key = jnp.where(state.vmap.valid,
-                    voxel_key(pts, cfg.map.voxel_size), INVALID_KEY)
-    skey, sx, sy, sz = jax.lax.sort(
-        (key, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1, is_stable=True)
-    valid = skey != INVALID_KEY
-    new_map = voxmap.VoxelMap(
-        jnp.where(valid[:, None], jnp.stack([sx, sy, sz], axis=-1), 0.0),
-        skey, valid)
-    return state._replace(vmap=new_map)
-
-
 @dataclasses.dataclass
-class LIOPipeline:
+class LIOPipeline(PoseGraphDriver):
     """Host driver: sensor feeds, IMU<->LiDAR sync, frame staging.
 
     Replaces the reference's callback threads + `ICP_processing` worker
@@ -863,6 +751,12 @@ class LIOPipeline:
                 "(and optionally particle_axis) > 1")
         self.rebalance_drops = 0
         self.rebalances = 0
+        # reanchor-specific shard-overflow drops (sharded map only): the
+        # replicated _reanchor_state move never drops rows, so a nonzero
+        # value here flags parity loss on the sharded path specifically —
+        # folded into rebalance_drops it would be indistinguishable from
+        # routine rebalance truncation
+        self.reanchor_drops = 0
         self.state = init_state(self.cfg)
         self._imu_times: list[float] = []
         self._imu_samples: list[tuple[float, np.ndarray, np.ndarray]] = []
@@ -888,6 +782,7 @@ class LIOPipeline:
         self.loop_closures: list[tuple[int, int]] = []
         self.reanchors = 0
         self.reanchors_rejected = 0
+        self.loop_edges_pruned = 0
         if self.cfg.posegraph.enabled:
             from svnicp_tpu.runtime.posegraph import PoseGraph
 
@@ -1283,169 +1178,6 @@ class LIOPipeline:
         pool = getattr(self, "_stage_pool", None)
         if pool is not None:
             pool.shutdown(wait=False)
-
-    # ------------------------------------------------------------ pose graph
-
-    _KF_CLOUD_SIZE = 2048
-
-    def _update_posegraph(self, t: float, out: FrameOutput, raw_points) -> None:
-        """Keyframe selection + loop-closure search/verification.
-
-        The graph runs alongside odometry: loop edges come from an SVN-ICP
-        registration between stored keyframe clouds, gated on convergence;
-        `optimized_trajectory()` returns the corrected keyframe path (the
-        live map is not rebuilt — BASELINE config 4 scope)."""
-        added = self.posegraph.maybe_add_keyframe(
-            t, np.asarray(out.pose_r), np.asarray(out.pose_t), np.asarray(out.cov)
-        )
-        if not added:
-            return
-        pts = np.asarray(raw_points, np.float32)
-        if len(pts) > self._KF_CLOUD_SIZE:
-            step = len(pts) // self._KF_CLOUD_SIZE
-            pts = pts[::step][: self._KF_CLOUD_SIZE]
-        pad = np.zeros((self._KF_CLOUD_SIZE, 3), np.float32)
-        pad[: len(pts)] = pts
-        valid = np.zeros(self._KF_CLOUD_SIZE, bool)
-        valid[: len(pts)] = True
-        self._keyframe_clouds.append((pad, valid))
-
-        kf_idx = len(self.posegraph.nodes_r) - 1
-        accepted = False
-        for old, cur in self.posegraph.loop_candidates()[:2]:
-            z = self._verify_loop(old, cur)
-            if z is not None:
-                rel_r, rel_t, cov = z
-                self.posegraph.add_loop_edge(old, cur, rel_r, rel_t, cov)
-                self.loop_closures.append((old, cur))
-                accepted = True
-        if accepted or (
-            kf_idx > 0 and kf_idx % self.cfg.posegraph.optimize_every == 0
-            and self.loop_closures
-        ):
-            # snapshot ALL nodes, not just the last: if the optimized
-            # correction is rejected by apply_reanchor's sanity guard, the
-            # graph must roll back too — otherwise its nodes live in the
-            # optimized frame while new keyframes keep arriving in the
-            # uncorrected live frame, every subsequent optimize sees the
-            # un-applied jump as apparent motion, and reanchoring stays
-            # wedged (huge corrections re-rejected) for the rest of the run
-            snap_r = [r.copy() for r in self.posegraph.nodes_r]
-            snap_t = [t.copy() for t in self.posegraph.nodes_t]
-            self.posegraph.optimize(iterations=8)
-            if self.cfg.posegraph.reanchor:
-                rejected_before = self.reanchors_rejected
-                self._reanchor_live(snap_r[-1], snap_t[-1])
-                if self.reanchors_rejected != rejected_before:
-                    self.posegraph.nodes_r = snap_r
-                    self.posegraph.nodes_t = snap_t
-
-    def _reanchor_live(self, before_r: np.ndarray, before_t: np.ndarray) -> None:
-        """Apply the last keyframe's optimization delta to the LIVE estimate:
-        the current odometry chain hangs off that keyframe, so the world-frame
-        correction T_opt T_before^-1 rigidly moves the pose history, the ESKF
-        nav state and the voxel map (keys are recomputed and the table
-        re-sorted). Loop closures then correct future odometry, not just
-        `optimized_trajectory()`."""
-        after_r = self.posegraph.nodes_r[-1]
-        after_t = self.posegraph.nodes_t[-1]
-        delta_r = after_r @ before_r.T
-        delta_t = after_t - delta_r @ before_t
-        if (np.linalg.norm(delta_t) < 1e-6
-                and np.linalg.norm(delta_r - np.eye(3)) < 1e-6):
-            return
-        self.apply_reanchor(delta_r, delta_t)
-
-    def apply_reanchor(self, delta_r, delta_t) -> None:
-        """Rigidly move the live odometry state (pose history, ESKF nav, and
-        the voxel map) by a world-frame correction. On the sharded map the
-        move runs distributed: per-shard re-key + the rebalance ring pass
-        (`voxmap_sharded.sharded_reanchor`) routes rows whose new key left
-        the shard's range to their owner; boundaries stay fixed.
-
-        A non-finite correction is REJECTED, not applied: when odometry is
-        fully lost, spurious "loop" registrations can converge in a wrong
-        basin and the optimized graph can go non-finite — feeding that into
-        the live map would destroy the one state that could still recover."""
-        bound = self.cfg.posegraph.max_reanchor_correction
-        dr_np, dt_np = np.asarray(delta_r), np.asarray(delta_t)
-        # rotation bound: a legitimate closure correction's rotation is
-        # drift-scale; 1 rad of heading correction means the system was
-        # already lost (bound fixed rather than configurable — no sane
-        # operating point wants rigid map rotations beyond it)
-        cos_a = np.clip((np.trace(dr_np) - 1.0) / 2.0, -1.0, 1.0)
-        if not (np.isfinite(dr_np).all() and np.isfinite(dt_np).all()
-                and np.linalg.norm(dt_np) <= bound
-                and np.arccos(cos_a) <= 1.0):
-            self.reanchors_rejected += 1
-            return
-        dt = jnp.dtype(self.cfg.dtype)
-        dr_j, dt_j = jnp.asarray(delta_r, dt), jnp.asarray(delta_t, dt)
-        sharded_map = self.mesh is not None and self.cfg.map.sharded
-        self.state = _reanchor_state(self.cfg, self.state, dr_j, dt_j,
-                                     move_map=not sharded_map)
-        if sharded_map:
-            from svnicp_tpu.parallel import voxmap_sharded as vms
-
-            new_map, dropped = vms.sharded_reanchor(
-                self.mesh, self.state.vmap, self.state.split_keys,
-                dr_j, dt_j, self.cfg.map.voxel_size)
-            self.state = self.state._replace(vmap=new_map)
-            self.rebalance_drops += int(dropped)
-        self.reanchors += 1
-
-    def _verify_loop(self, old: int, cur: int):
-        """Register keyframe `cur`'s cloud onto keyframe `old`'s cloud; accept
-        when the ensemble converges (grad norm below loop_max_grad)."""
-        import dataclasses as _dc
-
-        from svnicp_tpu.core import geometry as geo
-        from svnicp_tpu.core import svn
-
-        src_pts, src_valid = self._keyframe_clouds[cur]
-        tgt_pts, tgt_valid = self._keyframe_clouds[old]
-        r_old = np.asarray(self.posegraph.nodes_r[old])
-        t_old = np.asarray(self.posegraph.nodes_t[old])
-        r_cur = np.asarray(self.posegraph.nodes_r[cur])
-        t_cur = np.asarray(self.posegraph.nodes_t[cur])
-        guess_r = r_old.T @ r_cur
-        guess_t = r_old.T @ (t_cur - t_old)
-
-        pg = self.cfg.posegraph
-        loop_cfg = _dc.replace(
-            self.cfg.icp, particle_count=pg.loop_particles,
-            iterations=pg.loop_iterations, knn_count=pg.loop_knn,
-            early_stop=True, use_pallas=pg.loop_use_pallas,
-            source_capacity=self._KF_CLOUD_SIZE,
-            target_capacity=self._KF_CLOUD_SIZE,
-        )
-        p = pg.loop_particles
-        dt = jnp.dtype(self.cfg.dtype)
-        res = svn.register(
-            loop_cfg,
-            jnp.asarray(src_pts, dt), jnp.asarray(src_valid),
-            jnp.asarray(tgt_pts, dt), jnp.asarray(tgt_valid),
-            jnp.asarray(guess_r, dt), jnp.asarray(guess_t, dt),
-            jnp.asarray(
-                np.random.default_rng(cur).uniform(-0.05, 0.05, (p, 6)), dt,
-            ),
-        )
-        if not bool(jnp.isfinite(res.mean).all()) or (
-            float(res.grad_norm) > self.cfg.posegraph.loop_max_grad
-        ):
-            return None
-        rc = np.asarray(geo.so3_exp(res.mean[3:]))
-        tc = np.asarray(res.mean[:3])
-        rel_r = guess_r @ rc
-        rel_t = guess_r @ tc + guess_t
-        return rel_r, rel_t, np.asarray(res.cov)
-
-    def optimized_trajectory(self) -> np.ndarray:
-        """[K,4,4] pose-graph-optimized keyframe trajectory (empty when the
-        graph is disabled)."""
-        if self.posegraph is None:
-            return np.zeros((0, 4, 4))
-        return self.posegraph.trajectory()
 
     # -------------------------------------------------------- threaded ingest
 

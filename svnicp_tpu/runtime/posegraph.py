@@ -101,6 +101,40 @@ class PoseGraph:
              self._information(cov))
         )
 
+    def prune_loop_edges(self, chi_threshold: float) -> int:
+        """Drop loop edges (non-consecutive node pairs) whose whitened
+        residual norm at the CURRENT node estimates exceeds chi_threshold;
+        returns the number removed.
+
+        Recovery path for a rejected re-anchor: when spurious loop
+        registrations (wrong-basin matches on a lost run) drive the
+        optimizer to a huge correction that apply_reanchor rejects, the
+        offending edges must leave the graph — otherwise every subsequent
+        optimize re-derives the same rejected correction and closures stay
+        wedged for the rest of the run. An edge consistent with the
+        trajectory sits inside the Huber region; offenders are far out in
+        the whitened tail, so a generous threshold never prunes sane
+        closures."""
+        keep = []
+        removed = 0
+        for e in self.edges:
+            i, j, zr, zt, info = e
+            if j - i == 1:      # odometry edges are never pruned
+                keep.append(e)
+                continue
+            res = np.asarray(_edge_residual(
+                jnp.asarray(self.nodes_r[i]), jnp.asarray(self.nodes_t[i]),
+                jnp.asarray(self.nodes_r[j]), jnp.asarray(self.nodes_t[j]),
+                jnp.asarray(zr), jnp.asarray(zt)))
+            chi = float(np.sqrt(max(res @ np.asarray(info, np.float64) @ res,
+                                    0.0)))
+            if chi > chi_threshold:
+                removed += 1
+            else:
+                keep.append(e)
+        self.edges = keep
+        return removed
+
     # --------------------------------------------------------------- optimize
 
     def optimize(self, iterations: int = 10) -> None:
