@@ -118,10 +118,16 @@ def align(
     # re-gathers candidate rows per iteration) at the kernel's tile shapes.
     use_kernel = (cfg.use_pallas and svn_mod._pallas_ok() and not use_mb
                   and source.dtype == jnp.float32
-                  and p % 8 == 0 and source.shape[0] % 256 == 0)
+                  and source.shape[0] % 128 == 0)
+    # the kernel's particle grid runs 8-particle tiles; odd ensembles (the
+    # reference's own P=30 generic point, ICP_parameters.yaml:5) are padded
+    # with copies of particle 0 — each row's 1-NN is independent, so pad
+    # rows are sliced off with zero effect on the valid ones
+    p8 = p + ((-p) % 8)
     if use_kernel:
         from svnicp_tpu.kernels import nn_pallas
 
+        point_tile = 256 if source.shape[0] % 256 == 0 else 128
         cand_pad, cval_pad = nn_pallas.pad_candidates(cand_pts, cand_valid,
                                                       multiple=128)
         feat_k, bias_k = svn_mod.correspondence_features(
@@ -150,8 +156,14 @@ def align(
         if use_kernel:
             params12 = jnp.concatenate([r_total.reshape(p, 9), t_total],
                                        axis=-1)
+            if p8 != p:
+                params12 = jnp.concatenate(
+                    [params12, jnp.broadcast_to(params12[:1], (p8 - p, 12))])
             matched, best = nn_pallas.fused_nn_match(
-                params12, feat_k, bias_k, cand_pad, particle_tile=8)
+                params12, feat_k, bias_k, cand_pad, particle_tile=8,
+                point_tile=point_tile)
+            if p8 != p:
+                matched, best = matched[:p], best[:p]
             nn_d2 = best + jnp.sum(transformed * transformed, axis=-1)
         else:
             nn_idx, nn_d2 = knn.nn_among_candidates(transformed, cpts, cval)

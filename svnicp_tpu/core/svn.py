@@ -338,16 +338,20 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
                 source, transformed, matched, pair_valid, src_valid, r_total,
                 cfg.max_dist,
             )
-    if (pallas_prep is not None and cfg.stein_kernel and p > 1 and p % 8 == 0
+    if (pallas_prep is not None and cfg.stein_kernel and p > 1
             and not cfg.svn_full_grad and state.r.dtype == jnp.float32):
-        # p % 8: Mosaic rejects the [P,P] coupling reductions at non-sublane-
-        # multiple P ("Not implemented: Lane broadcast", observed at the
-        # geode operating point's P=10); padding P would poison the pairwise
-        # median bandwidth, so such ensembles take the XLA update below
         # fused ensemble update: solve + Stein coupling + pose update in ONE
         # Pallas program (kernels/stein_pallas.py) — the same math as the
         # XLA path below, whose ~hundred small while-body ops cost more in
-        # op overhead than the fused correspondence kernel itself
+        # op overhead than the fused correspondence kernel itself.
+        # Mosaic rejects the [P,P] coupling reductions at non-sublane-
+        # multiple P ("Not implemented: Lane broadcast", observed at the
+        # geode operating point's P=10), so such ensembles are PADDED to
+        # the next multiple of 8 with identity particles the kernel masks
+        # out exactly (true_p: the bandwidth median, coupling sums and exit
+        # stats all see only the valid prefix — stein_pallas.stein_body);
+        # the reference's own operating points (geode P=10, subt P=30) take
+        # this path
         from svnicp_tpu.kernels import stein_pallas
 
         prior = None
@@ -356,9 +360,22 @@ def _svn_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_valid,
                 prior_inverse_variance(cfg, jnp.float32),
                 prior_kernel_scale(cfg, jnp.float32),
             ])
+        pad = (-p) % 8
+        if pad:
+            dt = state.r.dtype
+            hess_k = jnp.concatenate(
+                [hess, jnp.broadcast_to(jnp.eye(6, dtype=dt)[None], (pad, 6, 6))])
+            b_k = jnp.concatenate([b, jnp.zeros((pad, 6), dt)])
+            r_k = jnp.concatenate(
+                [state.r, jnp.broadcast_to(jnp.eye(3, dtype=dt)[None], (pad, 3, 3))])
+            t_k = jnp.concatenate([state.t, jnp.zeros((pad, 3), dt)])
+        else:
+            hess_k, b_k, r_k, t_k = hess, b, state.r, state.t
         r_new, t_new, grad_norm, mean_delta = stein_pallas.stein_update(
-            hess, b, state.r, state.t, prior, max_dist=cfg.max_dist,
-            use_prior=cfg.prior_information)
+            hess_k, b_k, r_k, t_k, prior, max_dist=cfg.max_dist,
+            use_prior=cfg.prior_information, true_p=p if pad else None)
+        if pad:
+            r_new, t_new = r_new[:p], t_new[:p]
         stop_stat = (mean_delta if cfg.convergence_metric == "mean_delta"
                      else grad_norm)
         return r_new, t_new, grad_norm, stop_stat

@@ -39,11 +39,22 @@ from svnicp_tpu.core import geometry as geo
 from svnicp_tpu.core import residuals
 
 
-def lower_median_bisect(sq: jax.Array) -> jax.Array:
+def lower_median_bisect(sq: jax.Array, k: int | None = None) -> jax.Array:
     """Exact lower median of a flat non-negative f32 array via bit-pattern
-    bisection (== jnp.sort(sq)[(n-1)//2], no sort)."""
-    n = sq.shape[0]
-    k = (n - 1) // 2                 # 0-indexed rank of the lower median
+    bisection (== jnp.sort(sq)[(n-1)//2], no sort). Pass `k` to select a
+    different order statistic — the padded-ensemble path asks for the
+    lower median of only the first true_p^2 valid entries by setting the
+    invalid ones to the max-finite sentinel (they sort above every valid
+    value) and k = (true_p^2 - 1) // 2.
+
+    Accepts any array shape (the rank count is a full reduction — no
+    flatten: Mosaic rejects the [P,P]->[P*P] shape cast at small P,
+    "infer-vector-layout: unsupported shape cast" observed at P=16)."""
+    import math
+
+    n = math.prod(sq.shape)
+    if k is None:
+        k = (n - 1) // 2             # 0-indexed rank of the lower median
     bits = jax.lax.bitcast_convert_type(sq, jnp.int32)
 
     def step(_, lohi):
@@ -86,7 +97,7 @@ def _rot_mats_unrolled(omega):
 
 
 def stein_body(hess, b, r, t, coords, *, max_dist: float, prior_inv=None,
-               prior_scale=None):
+               prior_scale=None, true_p: int | None = None):
     """The ensemble update as one jnp expression (shared kernel/oracle
     body). Mirrors svn._svn_iteration's post-moment half, with the
     sort-median replaced by the bit-exact bisection and the batched small
@@ -101,21 +112,51 @@ def stein_body(hess, b, r, t, coords, *, max_dist: float, prior_inv=None,
     prior_inv/prior_scale implement cfg.prior_information (MAP prior on
     H/b + kernel whitening — svn.add_prior_information/prior_kernel_scale);
     None disables both.
-    Returns (r_new, t_new, stein_grad)."""
+
+    `true_p`: Mosaic needs P to be a sublane multiple (% 8 — "Lane
+    broadcast" rejection observed at the geode operating point's P=10), so
+    non-multiple ensembles are PADDED by the caller (identity hess, zero
+    b/t, identity r) and `true_p` < P marks the valid prefix. Masking makes
+    the padded ensemble's math EXACTLY the unpadded ensemble's: pad pairs'
+    squared distances are set to +inf, so (a) the bandwidth bisection at
+    rank (true_p^2-1)//2 returns the true lower median of the valid pairs,
+    and (b) exp(-inf/bw) is an exact 0.0 kernel weight — pad rows/cols
+    vanish from every coupling sum.
+    h_mean and the exit statistics divide by true_p; pad rows' stein grad
+    is zeroed (their pose update is identity) and the caller slices them
+    off. Returns (r_new, t_new, stein_grad)."""
+    pp = coords.shape[0]
+    p = pp if true_p is None else true_p
+    row_valid = None
+    if true_p is not None and true_p < pp:
+        row_valid = (jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0)
+                     < true_p)                                   # [P,1]
     if prior_inv is not None:
         hess = hess + jnp.eye(6, dtype=hess.dtype)[None] * prior_inv[None, None, :]
         b = b + coords * prior_inv[None, :]
     newton = residuals.cholesky_solve6(hess, b)                  # [P,6]
-    h_mean = jnp.mean(hess, axis=0)
+    if row_valid is None:
+        h_mean = jnp.mean(hess, axis=0)
+    else:
+        newton = jnp.where(row_valid, newton, 0.0)
+        h_mean = jnp.sum(jnp.where(row_valid[:, :, None], hess, 0.0),
+                         axis=0) / p
     x = coords if prior_scale is None else coords / prior_scale[None, :]
     diff = x[:, None, :] - x[None, :, :]                         # [P,P,6]
     sq = jnp.sum(diff * diff, axis=-1)
-    p = x.shape[0]
-    med = lower_median_bisect(sq.reshape(-1))
+    if row_valid is not None:
+        # +inf sentinel: the bisection's search range caps at max-finite so
+        # inf entries are never counted (rank k lands inside the valid
+        # prefix), and exp(-inf/bw) is an exact 0.0 for any finite bw
+        pair_valid = jnp.logical_and(row_valid, row_valid.reshape(1, pp))
+        sq = jnp.where(pair_valid, sq, jnp.asarray(jnp.inf, sq.dtype))
+    med = lower_median_bisect(sq, k=(p * p - 1) // 2)
     bw = jnp.maximum(med / jnp.log(jnp.asarray(float(p + 1), x.dtype)),
                      jnp.asarray(1e-12, x.dtype))
     kernel = jnp.exp(-sq / bw)
     ksum = jnp.sum(kernel, axis=1)                               # [P]
+    if row_valid is not None:
+        ksum = jnp.maximum(ksum, 1e-30)      # pad rows: all-zero kernel row
     kx = jnp.matmul(kernel, x, precision=jax.lax.Precision.HIGHEST)
     grad_k = (2.0 / bw) * (x * ksum[:, None] - kx)
     if prior_scale is not None:
@@ -128,6 +169,8 @@ def stein_body(hess, b, r, t, coords, *, max_dist: float, prior_inv=None,
     norm = jnp.sqrt(jnp.sum(stein * stein, axis=-1, keepdims=True))
     cap = jnp.asarray(max_dist, stein.dtype)
     stein = stein * jnp.minimum(1.0, cap / jnp.maximum(norm, 1e-30))
+    if row_valid is not None:
+        stein = jnp.where(row_valid, stein, 0.0)
     # right-multiplicative pose update (svn._pose_update), unrolled
     dr, jl = _rot_mats_unrolled(stein[:, 3:])
     rl = [[r[:, i, j] for j in range(3)] for i in range(3)]
@@ -143,43 +186,54 @@ def stein_body(hess, b, r, t, coords, *, max_dist: float, prior_inv=None,
 
 
 def _kernel(hess_ref, b_ref, r_ref, t_ref, coords_ref, prior_ref,
-            r_out, t_out, stats_out, *, max_dist: float, use_prior: bool):
+            r_out, t_out, stats_out, *, max_dist: float, use_prior: bool,
+            true_p: int | None = None):
     prior_inv = prior_scale = None
     if use_prior:
         prior_inv = prior_ref[0]
         prior_scale = prior_ref[1]
     r_new, t_new, stein = stein_body(
         hess_ref[...], b_ref[...], r_ref[...], t_ref[...], coords_ref[...],
-        max_dist=max_dist, prior_inv=prior_inv, prior_scale=prior_scale)
+        max_dist=max_dist, prior_inv=prior_inv, prior_scale=prior_scale,
+        true_p=true_p)
     r_out[...] = r_new
     t_out[...] = t_new
     # stats kept 2-D end to end: Mosaic's layout inference rejects sqrt on
-    # the 1-D [P] intermediate a plain norm produces ("invalid relayout")
+    # the 1-D [P] intermediate a plain norm produces ("invalid relayout").
+    # Pad rows' stein is zeroed by stein_body, so sums over the full axis
+    # divided by the TRUE count give the unpadded statistics exactly.
+    p = stein.shape[0] if true_p is None else true_p
     n2 = jnp.sum(stein * stein, axis=-1, keepdims=True)       # [P,1]
-    gn = jnp.mean(jnp.sqrt(n2))
-    mean_step = jnp.mean(stein, axis=0, keepdims=True)        # [1,6]
+    gn = jnp.sum(jnp.sqrt(n2)) / p
+    mean_step = jnp.sum(stein, axis=0, keepdims=True) / p     # [1,6]
     md = jnp.sqrt(jnp.sum(mean_step * mean_step))
     stats_out[...] = jnp.concatenate(
         [gn.reshape(1, 1), md.reshape(1, 1)], axis=0)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_dist", "use_prior", "interpret"))
+                   static_argnames=("max_dist", "use_prior", "true_p",
+                                    "interpret"))
 def stein_update(hess: jax.Array, b: jax.Array, r: jax.Array, t: jax.Array,
                  prior: jax.Array | None = None, *, max_dist: float,
-                 use_prior: bool = False, interpret: bool = False):
+                 use_prior: bool = False, true_p: int | None = None,
+                 interpret: bool = False):
     """One fused ensemble update.
 
     hess [P,6,6], b [P,6], r [P,3,3], t [P,3]; prior [2,6] rows =
-    (prior_inv, prior_scale) when use_prior. Returns (r_new [P,3,3],
-    t_new [P,3], grad_norm scalar, mean_delta scalar)."""
+    (prior_inv, prior_scale) when use_prior. `true_p` < P marks a padded
+    ensemble's valid prefix (see stein_body) — the trailing pad rows must
+    be identity r / zero t / identity hess / zero b, and their outputs are
+    identity (slice them off). Returns (r_new [P,3,3], t_new [P,3],
+    grad_norm scalar, mean_delta scalar)."""
     p = r.shape[0]
     dtype = r.dtype
     if prior is None:
         prior = jnp.zeros((2, 6), dtype)
     coords = jnp.concatenate([t, geo.bso3_log(r)], axis=-1)
     r_new, t_new, stats = pl.pallas_call(
-        functools.partial(_kernel, max_dist=max_dist, use_prior=use_prior),
+        functools.partial(_kernel, max_dist=max_dist, use_prior=use_prior,
+                          true_p=true_p),
         out_shape=(
             jax.ShapeDtypeStruct((p, 3, 3), dtype),
             jax.ShapeDtypeStruct((p, 3), dtype),

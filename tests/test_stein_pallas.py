@@ -94,6 +94,57 @@ class TestKernelVsOracle:
                                     prior_inv=prior_inv, prior_scale=scale)
         np.testing.assert_allclose(stein, want, rtol=2e-5, atol=2e-6)
 
+    @pytest.mark.parametrize("p", [10, 30])
+    def test_padded_matches_unpadded(self, rng, p):
+        """The sublane-padded ensemble (true_p masking) must reproduce the
+        unpadded update exactly: geode P=10 / subt P=30 are the reference's
+        own operating points (config/geodeAlpha.yaml:6, subt-mrs.yaml:5)."""
+        from svnicp_tpu.core import geometry as geo
+
+        hess, b, r, t = _random_problem(rng, p=p)
+        coords = jnp.concatenate([t, geo.bso3_log(r)], axis=-1)
+        ro, to, stein = sp.stein_body(hess, b, r, t, coords, max_dist=3.0)
+
+        pad = (-p) % 8
+        hess_p = jnp.concatenate(
+            [hess, jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32)[None], (pad, 6, 6))])
+        b_p = jnp.concatenate([b, jnp.zeros((pad, 6), jnp.float32)])
+        r_p = jnp.concatenate(
+            [r, jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32)[None], (pad, 3, 3))])
+        t_p = jnp.concatenate([t, jnp.zeros((pad, 3), jnp.float32)])
+        rk, tk, gn, md = sp.stein_update(hess_p, b_p, r_p, t_p, max_dist=3.0,
+                                         true_p=p, interpret=True)
+        np.testing.assert_allclose(rk[:p], ro, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(tk[:p], to, rtol=1e-6, atol=1e-6)
+        # pad rows must come back untouched (identity update)
+        np.testing.assert_allclose(rk[p:], r_p[p:], rtol=0, atol=0)
+        np.testing.assert_allclose(tk[p:], t_p[p:], rtol=0, atol=0)
+        want_gn = float(jnp.mean(jnp.linalg.norm(stein, axis=1)))
+        want_md = float(jnp.linalg.norm(jnp.mean(stein, axis=0)))
+        assert np.isclose(float(gn), want_gn, rtol=1e-5)
+        assert np.isclose(float(md), want_md, rtol=1e-5)
+
+    def test_padded_prior_matches_unpadded(self, rng):
+        from svnicp_tpu.core import geometry as geo
+
+        p, pad = 10, 6
+        hess, b, r, t = _random_problem(rng, p=p)
+        coords = jnp.concatenate([t, geo.bso3_log(r)], axis=-1)
+        prior = jnp.stack([jnp.full((6,), 3.0), jnp.full((6,), 0.5)])
+        ro, to, _ = sp.stein_body(hess, b, r, t, coords, max_dist=3.0,
+                                  prior_inv=prior[0], prior_scale=prior[1])
+        hess_p = jnp.concatenate(
+            [hess, jnp.broadcast_to(jnp.eye(6, dtype=jnp.float32)[None], (pad, 6, 6))])
+        b_p = jnp.concatenate([b, jnp.zeros((pad, 6), jnp.float32)])
+        r_p = jnp.concatenate(
+            [r, jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32)[None], (pad, 3, 3))])
+        t_p = jnp.concatenate([t, jnp.zeros((pad, 3), jnp.float32)])
+        rk, tk, _, _ = sp.stein_update(hess_p, b_p, r_p, t_p, prior,
+                                       max_dist=3.0, use_prior=True,
+                                       true_p=p, interpret=True)
+        np.testing.assert_allclose(rk[:p], ro, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(tk[:p], to, rtol=1e-6, atol=1e-6)
+
     def test_interpret_prior_flag(self, rng):
         from svnicp_tpu.core import geometry as geo
 

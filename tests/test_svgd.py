@@ -67,7 +67,8 @@ def test_single_particle_plain_descent(rng):
     assert np.linalg.norm(tc - t_true) < 0.05
 
 
-def test_fused_nn_kernel_path_matches_xla(rng, monkeypatch):
+@pytest.mark.parametrize("p", [8, 10])
+def test_fused_nn_kernel_path_matches_xla(rng, monkeypatch, p):
     """The SVGD fused-1-NN path (use_pallas on TPU) must reproduce the XLA
     path's trajectory: force the kernel gate open on CPU and run the Pallas
     kernel in interpret mode, then compare full align() results."""
@@ -77,14 +78,17 @@ def test_fused_nn_kernel_path_matches_xla(rng, monkeypatch):
     from svnicp_tpu.kernels import nn_pallas
 
     cloud = make_structured_cloud(rng, n=256)     # B = 256 (kernel tile)
-    cfg = dataclasses.replace(CFG, particle_count=8, iterations=25,
+    # p=10: non-sublane-multiple ensembles (the reference's own generic
+    # SVGD point is P=30, ICP_parameters.yaml:5) exercise the pad-and-slice
+    # path (svgd.align p8 padding)
+    cfg = dataclasses.replace(CFG, particle_count=p, iterations=25,
                               knn_count=16, use_pallas=True)
     true_xi = np.array([0.06, -0.04, 0.02, 0.006, 0.0, 0.012])
     r_true, t_true = geo.se3_exp(jnp.asarray(true_xi, jnp.float32))
     target = geo.transform_points(r_true, t_true, jnp.asarray(cloud))
     from svnicp_tpu.core import svn
 
-    init = svn.init_particles_uniform(jax.random.PRNGKey(1), 8,
+    init = svn.init_particles_uniform(jax.random.PRNGKey(1), p,
                                       cfg.init_lb, cfg.init_ub)
     args = (jnp.asarray(cloud), jnp.ones(len(cloud), bool),
             target, jnp.ones(len(target), bool),
