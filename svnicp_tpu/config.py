@@ -173,6 +173,23 @@ class PreprocessConfig:
     sensor_model: str = "hdl64"      # segmentation scan geometry preset:
                                      # hdl64 | hdl32 | vlp16
     raw_capacity: int = 131072       # padded raw scan size
+    # LOAM-style constraint-aware source selection (core/features.py; no
+    # reference analogue — built for the measured ring-cloud failure where
+    # uniform downsampling of floor-dominated short-range sweeps leaves yaw
+    # unconstrained, BASELINE.md round-4 loop-proxy controls). Replaces the
+    # two-stage-downsampled SOURCE cloud with per-(ring, sector) edge +
+    # planar picks plus a capped scattered ground quota; the map-insert
+    # cloud keeps the standard downsample. Needs the raw scan on device
+    # (disables the host_downsample fast path, like use_segmentation).
+    feature_select: bool = False
+    feature_sectors: int = 18        # azimuth sectors per ring (divides
+                                     # 2250 and 1800 — all presets)
+    feature_edge_per_sector: int = 2
+    feature_planar_per_sector: int = 4
+    feature_edge_threshold: float = 0.05   # relative curvature
+    feature_planar_threshold: float = 0.02
+    feature_ground_cap: int = 512   # hash-scattered ground quota
+    feature_occlusion_threshold: float = 0.3  # relative neighbor range jump
 
     def __post_init__(self):
         if self.quantize_upload and self.max_range >= 127.9:
@@ -180,6 +197,10 @@ class PreprocessConfig:
                 "quantize_upload uses a 2^-8 m int16 grid covering +/-128 m; "
                 f"preprocess.max_range={self.max_range} exceeds it — disable "
                 "quantize_upload or reduce max_range below 127.9")
+        if self.feature_select and self.use_segmentation:
+            raise ValueError(
+                "feature_select and use_segmentation are alternative source-"
+                "selection stages — enable at most one")
 
 
 @dataclasses.dataclass(frozen=True)

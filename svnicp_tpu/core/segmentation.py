@@ -67,11 +67,22 @@ class RangeImage(NamedTuple):
     rng: jax.Array       # [R,C] range (INVALID where empty)
     pts: jax.Array       # [R,C,3] the winning point per cell
     valid: jax.Array     # [R,C]
+    ts: jax.Array        # [R,C] the winning point's sweep time (zeros when
+                         # the caller passed no timestamps) — carried so
+                         # projection-based selection (segmentation, feature
+                         # picks) stays composable with per-point deskew
 
 
 @functools.partial(jax.jit, static_argnames=("sensor",))
-def project(points: jax.Array, valid: jax.Array, sensor: SensorModel) -> RangeImage:
-    """Scatter a scan into the range image (ref: projectPointCloud :281-326)."""
+def project(points: jax.Array, valid: jax.Array, sensor: SensorModel,
+            timestamps: jax.Array | None = None) -> RangeImage:
+    """Scatter a scan into the range image (ref: projectPointCloud :281-326).
+
+    `timestamps` (optional, [N]) rides along with the winning point per
+    cell: the reference segments BEFORE deskewing and loses the per-point
+    times (its deskew reads the original message), so segmentation+deskew
+    silently misalign there; carrying the channel removes that constraint.
+    """
     r, c = sensor.n_scan, sensor.horizon
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
     rng_ = jnp.sqrt(x * x + y * y + z * z)
@@ -100,10 +111,17 @@ def project(points: jax.Array, valid: jax.Array, sensor: SensorModel) -> RangeIm
     ].min(jnp.where(wins, idx, n))
     cell_idx = cell_idx[: r * c]
     cell_ok = cell_idx < n
+    safe_idx = jnp.where(cell_ok, cell_idx, n)
     pts_pad = jnp.concatenate([points, jnp.zeros((1, 3), points.dtype)], axis=0)
-    img_pts = pts_pad[jnp.where(cell_ok, cell_idx, n)].reshape(r, c, 3)
+    img_pts = pts_pad[safe_idx].reshape(r, c, 3)
     img_rng = jnp.where(cell_ok, cell_rng[: r * c], INVALID).reshape(r, c)
-    return RangeImage(img_rng, img_pts, cell_ok.reshape(r, c))
+    if timestamps is None:
+        img_ts = jnp.zeros((r, c), points.dtype)
+    else:
+        ts_pad = jnp.concatenate(
+            [timestamps.astype(points.dtype), jnp.zeros((1,), points.dtype)])
+        img_ts = ts_pad[safe_idx].reshape(r, c)
+    return RangeImage(img_rng, img_pts, cell_ok.reshape(r, c), img_ts)
 
 
 def ground_mask(img: RangeImage, sensor: SensorModel) -> jax.Array:

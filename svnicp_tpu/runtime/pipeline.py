@@ -182,23 +182,43 @@ def _sensor_model(name: str):
 
 
 def _preprocess(cfg: PipelineConfig, state: OdometryState, frame: FrameInput):
-    """Segmentation + deskew + crop + two-stage downsample
-    (ref: OdometryPipeline.cpp:549-560; segmentation runs first, at ingest
-    in the reference, :331-345)."""
+    """Segmentation / feature selection + deskew + crop + two-stage
+    downsample (ref: OdometryPipeline.cpp:549-560; segmentation runs first,
+    at ingest in the reference, :331-345)."""
+    pp = cfg.preprocess
     points = frame.points
-    if cfg.preprocess.use_segmentation:
+    sel = None
+    if pp.feature_select:
+        # LOAM-style constraint-aware SOURCE selection (core/features.py):
+        # runs on the raw (skewed) sweep — the range-image structure is the
+        # scan pattern itself; selected points carry their sweep times so
+        # deskew composes below. The map-insert cloud keeps the standard
+        # downsample path (uniform coverage is what the map wants).
+        from svnicp_tpu.core import features as feat_mod
+
+        sel = feat_mod.select_features(
+            frame.points, frame.valid, frame.timestamps,
+            _sensor_model(pp.sensor_model), cfg.icp.source_capacity,
+            max_range=pp.max_range, sectors=pp.feature_sectors,
+            edge_k=pp.feature_edge_per_sector,
+            planar_k=pp.feature_planar_per_sector,
+            ground_cap=pp.feature_ground_cap,
+            edge_threshold=pp.feature_edge_threshold,
+            planar_threshold=pp.feature_planar_threshold,
+            occlusion_threshold=pp.feature_occlusion_threshold)
+    if pp.use_segmentation:
         from svnicp_tpu.core import segmentation as seg
 
         segmented = seg.segment_cloud(
-            points, frame.valid, _sensor_model(cfg.preprocess.sensor_model),
-            cfg.preprocess.raw_capacity,
+            points, frame.valid, _sensor_model(pp.sensor_model),
+            pp.raw_capacity,
         )
         points = segmented.points
         # NOTE: segmentation reorders points, so per-point deskew timestamps
         # no longer align; the reference has the same constraint (it
         # segments before deskewing and deskew reads the original message)
         frame = frame._replace(points=points, valid=segmented.valid)
-    if cfg.preprocess.deskew:
+    if pp.deskew:
         # relative motion of the last two poses (ref: deskew_pointcloud :425-432)
         rd, td = geo.transform_compose(
             *geo.transform_inverse(state.prev_r, state.prev_t), state.pose_r, state.pose_t
@@ -207,13 +227,20 @@ def _preprocess(cfg: PipelineConfig, state: OdometryState, frame: FrameInput):
         have_hist = state.frame_idx >= 2
         delta_xi = jnp.where(have_hist, delta_xi, jnp.zeros(6, points.dtype))
         points = pc.deskew(points, frame.valid, frame.timestamps, delta_xi)
+        if sel is not None:
+            sel = sel._replace(points=pc.deskew(
+                sel.points, sel.valid, sel.timestamps, delta_xi))
 
     cropped = pc.crop(pc.PaddedCloud(points, frame.valid),
-                      cfg.preprocess.min_range, cfg.preprocess.max_range)
-    to_map = pc.downsample_uniform(cropped, 0.5 * cfg.preprocess.voxel_size,
+                      pp.min_range, pp.max_range)
+    to_map = pc.downsample_uniform(cropped, 0.5 * pp.voxel_size,
                                    cfg.icp.source_capacity * 2)
-    source = pc.downsample_uniform(to_map, 1.5 * cfg.preprocess.voxel_size,
-                                   cfg.icp.source_capacity)
+    if sel is not None:
+        source = pc.crop(pc.PaddedCloud(sel.points, sel.valid),
+                         pp.min_range, pp.max_range)
+    else:
+        source = pc.downsample_uniform(to_map, 1.5 * pp.voxel_size,
+                                       cfg.icp.source_capacity)
     return cropped, to_map, source
 
 
@@ -968,7 +995,7 @@ class LIOPipeline(PoseGraphDriver):
         # cloud — see odometry_step_packed_pre). Timestamps WITHOUT deskew
         # keep the raw path (ts would be silently dropped otherwise).
         host_ds = (pp.host_downsample and not pp.use_segmentation
-                   and self._frames > 0
+                   and not pp.feature_select and self._frames > 0
                    and (timestamps is None or pp.deskew))
         ds_ts = timestamps if (host_ds and pp.deskew) else None
         batch_n = self.cfg.dispatch_batch if self.posegraph is None else 1
