@@ -243,6 +243,16 @@ class LIOConfig:
     textbook_phi: bool = False       # ESKF velocity->attitude block: textbook
                                      # -skew(R a)dt instead of the reference's
                                      # exp(skew(R a))dt (see core/eskf.py)
+    # KF cold-start fix (no reference analogue — the reference shares the
+    # weakness, ESEKF.cpp:23-28): the filter initializes v=0 with a tight
+    # init_vel_std, so a log that starts mid-motion (any real recording)
+    # spends tens of frames dragging the velocity estimate up through the
+    # tight prior — measured WORSE than pure ICP on full-speed starts
+    # (BASELINE.md). With init_from_motion, the first aligned frame
+    # bootstraps the velocity from its own ICP pose delta and resets the
+    # velocity covariance block to the implied (ICP-variance-derived)
+    # uncertainty; subsequent frames run the normal filter.
+    init_from_motion: bool = False
     frame_gap_seconds: float = 0.05
     extrinsic_R: tuple[float, ...] = (1, 0, 0, 0, 1, 0, 0, 0, 1)  # row-major lidar->imu
     extrinsic_t: tuple[float, float, float] = (0.0, 0.0, 0.0)

@@ -518,6 +518,38 @@ def _odometry_step_impl(
         ekf = jax.tree.map(
             lambda a, b: jnp.where(align_ok, a, b), ekf_upd, state.eskf
         )
+        if cfg.lio.init_from_motion:
+            # cold-start bootstrap (lio.init_from_motion): on the FIRST
+            # aligned frame, adopt the FULL ICP-composed pose (the Kalman
+            # update discounts the innovation by gain < 1, so a full-speed
+            # start's large first correction is only partially absorbed —
+            # and the velocity derived from the under-corrected pose stays
+            # low for tens of frames), set the velocity to that pose's
+            # delta over the frame gap, and reset the velocity covariance
+            # rows/cols to the implied uncertainty (2x the ICP translation
+            # variance over dt^2 — two poses contribute). An explicit
+            # initialization step, not a Kalman update: before the filter
+            # has a velocity, the ICP pose IS the best state estimate.
+            dt_f = jnp.maximum(frame.time - state.pose_time,
+                               jnp.asarray(1e-3, dtype))
+            full_r, full_t = geo.transform_compose(guess_r, guess_t, rc, tc)
+            v_boot = (full_t - state.pose_t) / dt_f
+            vel_var = 2.0 * jnp.maximum(raw_var[:3], 1e-6) / (dt_f * dt_f)
+            cov_b = ekf.cov.at[3:6, :].set(0.0).at[:, 3:6].set(0.0)
+            cov_b = cov_b.at[3:6, 3:6].set(jnp.diag(vel_var))
+            # adaptive trigger: only fire when the first correction shows
+            # one-frame motion OUTSIDE the velocity prior's 3-sigma — a
+            # from-rest start (v=0 is the truth) keeps the plain filter,
+            # which measured slightly better there (the one-frame velocity
+            # estimate is noisier than a correct zero prior)
+            unmodeled = jnp.linalg.norm(tc) > 3.0 * dt_f * jnp.linalg.norm(
+                jnp.asarray(cfg.lio.init_vel_std, dtype))
+            boot = (state.frame_idx == 1) & align_ok & unmodeled
+            ekf = jax.tree.map(
+                lambda a, b: jnp.where(boot, a, b),
+                ekf._replace(
+                    nav=imu_mod.NavState(full_r, full_t, v_boot),
+                    cov=cov_b), ekf)
         pose_r, pose_t = ekf.nav.r, ekf.nav.t
         var_rw = eskf_mod.random_walk_variance(ekf)
 
@@ -776,6 +808,16 @@ class LIOPipeline(PoseGraphDriver):
             raise ValueError(
                 "map.sharded needs a device mesh: set sharding.point_axis "
                 "(and optionally particle_axis) > 1")
+        # multi-process runtime (parallel/distributed.py): when the mesh
+        # spans processes, host-staged buffers and the persistent state
+        # must be globally-replicated jax.Arrays — every process stages
+        # the same frame (SPMD scan-broadcast) and jit consumes the global
+        # arrays with the mesh collectives inside
+        self._replicated = None
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._replicated = NamedSharding(self.mesh, PartitionSpec())
         self.rebalance_drops = 0
         self.rebalances = 0
         # reanchor-specific shard-overflow drops (sharded map only): the
@@ -785,6 +827,9 @@ class LIOPipeline(PoseGraphDriver):
         # routine rebalance truncation
         self.reanchor_drops = 0
         self.state = init_state(self.cfg)
+        if self._replicated is not None:
+            self.state = jax.tree.map(
+                lambda a: jax.device_put(a, self._replicated), self.state)
         self._imu_times: list[float] = []
         self._imu_samples: list[tuple[float, np.ndarray, np.ndarray]] = []
         self._last_frame_time: float | None = None
@@ -1002,9 +1047,9 @@ class LIOPipeline(PoseGraphDriver):
         if self._frames == 0:
             scan_buf, imu_buf, meta = self._pack_frame(t, points, timestamps)
             with self.timer.span("dispatch"):
-                self.state, out = bootstrap_packed(self.cfg, self.state,
-                                                   scan_buf, imu_buf, meta,
-                                                   mesh=self.mesh)
+                self.state, out = bootstrap_packed(
+                    self.cfg, self.state,
+                    *self._put((scan_buf, imu_buf, meta)), mesh=self.mesh)
             out = HostFrameOutput(out)
             self._record_frame(t, out, points)
             self._maybe_rebalance(force=True)
@@ -1032,11 +1077,20 @@ class LIOPipeline(PoseGraphDriver):
             return self._flush_batch()
         step = odometry_step_packed_pre if host_ds else odometry_step_packed
         with self.timer.span("dispatch"):
-            self.state, out = step(self.cfg, self.state, *bufs, mesh=self.mesh,
+            self.state, out = step(self.cfg, self.state, *self._put(bufs),
+                                   mesh=self.mesh,
                                    skip_insert=self._skip_insert(self._frames))
         out = HostFrameOutput(out)
         self._record_frame(t, out, points)
         return out
+
+    def _put(self, bufs):
+        """Multi-process staging: lift host buffers to globally-replicated
+        arrays (identical data staged by every process); no-op otherwise."""
+        if self._replicated is None:
+            return bufs
+        return tuple(jax.device_put(np.asarray(b), self._replicated)
+                     for b in bufs)
 
     def _skip_insert(self, frame_idx: int) -> bool:
         """Host insert cadence (map.insert_every): off-cadence frames
@@ -1084,8 +1138,8 @@ class LIOPipeline(PoseGraphDriver):
         meta = np.array([t0, n_map, n_imu, n_drop], np.float64)
         with self.timer.span("dispatch"):
             self.state, out = odometry_step_packed_pre(
-                self.cfg, self.state, ds_buf, imu_buf, meta, mesh=self.mesh,
-                skip_insert=self._skip_insert(idx))
+                self.cfg, self.state, *self._put((ds_buf, imu_buf, meta)),
+                mesh=self.mesh, skip_insert=self._skip_insert(idx))
         out = HostFrameOutput(out)
         self.outputs.append(out)
         self.times.append(t0)
@@ -1143,7 +1197,8 @@ class LIOPipeline(PoseGraphDriver):
             # avoid a distinct scan-length compilation for a lone remainder
             b0, b1, b2, t = items[0]
             with self.timer.span("dispatch"):
-                self.state, out = step(self.cfg, self.state, b0, b1, b2,
+                self.state, out = step(self.cfg, self.state,
+                                       *self._put((b0, b1, b2)),
                                        mesh=self.mesh)
             out = HostFrameOutput(out)
             self.outputs.append(out)
@@ -1153,7 +1208,8 @@ class LIOPipeline(PoseGraphDriver):
                 "steinicp_time": self.timer.last.get("dispatch", 0.0),
             })
             return out
-        stacked = [np.stack([it[i] for it in items]) for i in range(3)]
+        stacked = self._put([np.stack([it[i] for it in items])
+                             for i in range(3)])
         with self.timer.span("dispatch"):
             self.state, outs = steps(self.cfg, self.state, *stacked,
                                      mesh=self.mesh)
@@ -1182,7 +1238,8 @@ class LIOPipeline(PoseGraphDriver):
             # and per-frame dispatch avoids compiling a program per length
             b0, b1, b2, t = self._batch.pop(0)
             with self.timer.span("dispatch"):
-                self.state, out = step(self.cfg, self.state, b0, b1, b2,
+                self.state, out = step(self.cfg, self.state,
+                                       *self._put((b0, b1, b2)),
                                        mesh=self.mesh)
             out = HostFrameOutput(out)
             self.outputs.append(out)
