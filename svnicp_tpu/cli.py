@@ -238,6 +238,12 @@ def cmd_record(args):
 
 
 def main(argv=None):
+    # multi-process runtime (parallel/distributed.py): when a launcher set
+    # SVNICP_COORDINATOR, every spawned process runs this same command line
+    # and joins the jax.distributed mesh before any backend touch
+    from svnicp_tpu.parallel import distributed
+
+    distributed.maybe_initialize_from_env()
     ap = argparse.ArgumentParser(prog="svnicp_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
