@@ -212,11 +212,17 @@ def label_components(img: RangeImage, segmentable: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("sensor", "capacity"))
 def segment_cloud(points: jax.Array, valid: jax.Array, sensor: SensorModel,
-                  capacity: int) -> PaddedCloud:
+                  capacity: int,
+                  timestamps: jax.Array | None = None) -> PaddedCloud:
     """Full segmentation pipeline -> odometry cloud (ref: cloudHandler flow,
-    ImageProjection.h:251-267 + cloudSegmentation :379-433)."""
+    ImageProjection.h:251-267 + cloudSegmentation :379-433).
+
+    With `timestamps`, returns (cloud, ts) — per-point sweep times carried
+    through the projection (RangeImage.ts), so segmentation composes with
+    deskew exactly; the reference cannot (it segments before deskewing and
+    its deskew reads the original message order)."""
     r, c = sensor.n_scan, sensor.horizon
-    img = project(points, valid, sensor)
+    img = project(points, valid, sensor, timestamps)
     ground = ground_mask(img, sensor)
     segmentable = img.valid & ~ground
     labels = label_components(img, segmentable, sensor)
@@ -253,4 +259,8 @@ def segment_cloud(points: jax.Array, valid: jax.Array, sensor: SensorModel,
     order = jnp.argsort(~keep, stable=True)[:capacity]
     out_keep = keep[order]
     out_pts = jnp.where(out_keep[:, None], pts_flat[order], 0.0)
-    return PaddedCloud(out_pts, out_keep)
+    cloud = PaddedCloud(out_pts, out_keep)
+    if timestamps is None:
+        return cloud
+    out_ts = jnp.where(out_keep, img.ts.reshape(-1)[order], 0.0)
+    return cloud, out_ts

@@ -167,6 +167,50 @@ def _sharded_iteration(cfg: SteinICPConfig, source, src_valid, cand_pts, cand_va
     return r_new, t_new, grad_norm, stop_stat
 
 
+def run_align_loop(cfg: SteinICPConfig, iter_fn, r, t, degenerate,
+                   history: bool):
+    """The shard-local alignment loop, shared by every sharded align body.
+
+    history=False: the plain early-stopping while_loop.
+    history=True: a lax.scan over all cfg.iterations with post-convergence
+    updates frozen (mirror of svn.align_with_history), each iteration
+    emitting the FULL particle coordinates via a particle-axis all_gather —
+    the [H,P,6] stack every shard returns replicated is exactly the
+    single-device history contract (ref: /svnicp/all_particles,
+    OdometryPipeline.cpp:966-985). Returns (final_state, hist|None).
+    """
+    init_state = (r, t, jnp.zeros((), jnp.int32),
+                  jnp.asarray(jnp.inf, t.dtype), degenerate)
+    if not history:
+        def cond(state):
+            return (~state[4]) & (state[2] < cfg.iterations)
+
+        def step(state):
+            r_, t_, it, gn, done = state
+            r_n, t_n, grad_norm, stop_stat = iter_fn(r_, t_)
+            done = (jnp.asarray(cfg.early_stop)
+                    & (stop_stat < cfg.convergence_threshold))
+            return (r_n, t_n, it + 1, grad_norm, done)
+
+        return jax.lax.while_loop(cond, step, init_state), None
+
+    def step(state, _):
+        r_, t_, it, gn, done = state
+        r_n, t_n, grad_norm, stop_stat = iter_fn(r_, t_)
+        newly = (jnp.asarray(cfg.early_stop)
+                 & (stop_stat < cfg.convergence_threshold))
+        keep = ~done
+        r_out = jnp.where(keep[None, None, None], r_n, r_)
+        t_out = jnp.where(keep[None, None], t_n, t_)
+        nxt = (r_out, t_out, it + keep.astype(jnp.int32),
+               jnp.where(keep, grad_norm, gn), done | newly)
+        coords_l = jnp.concatenate([t_out, geo.bso3_log(r_out)], axis=-1)
+        return nxt, jax.lax.all_gather(coords_l, PARTICLE_AXIS, tiled=True)
+
+    final, hist = jax.lax.scan(step, init_state, None, length=cfg.iterations)
+    return final, hist
+
+
 def sharded_align(
     mesh: Mesh,
     cfg: SteinICPConfig,
@@ -176,11 +220,14 @@ def sharded_align(
     cand_valid: jax.Array,     # [B,K]
     r0: jax.Array, t0: jax.Array,
     init_particles: jax.Array, # [P,6] (sharded over the particle axis)
+    history: bool = False,
 ) -> svn.AlignResult:
     """Distributed `svn.align`: same math, mesh-parallel execution.
 
     Outputs are fully replicated (every chip ends with the complete particle
     set statistics), matching the single-device AlignResult contract.
+    With history=True returns (result, [iters,P,6] particle stack) — the
+    sharded form of svn.align_with_history.
     """
 
     def body(source_l, src_valid_l, cand_l, cand_valid_l, r0_l, t0_l, init_l):
@@ -210,23 +257,15 @@ def sharded_align(
             feat, bias = svn.correspondence_features(
                 source_l, cand_l, cand_valid_l)
 
-        def cond(state):
-            r_, t_, it, gn, done = state
-            return (~done) & (it < cfg.iterations)
-
-        def step(state):
-            r_, t_, it, gn, done = state
-            r_n, t_n, grad_norm, stop_stat = _sharded_iteration(
+        def iter_fn(r_, t_):
+            return _sharded_iteration(
                 cfg, source_l, src_valid_l, cand_l, cand_valid_l, feat, bias,
                 normals, prep, r0_l, t0_l, r_, t_
             )
-            done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
-            return (r_n, t_n, it + 1, grad_norm, done)
 
-        init_state = (r, t, jnp.zeros((), jnp.int32),
-                      jnp.asarray(jnp.inf, source_l.dtype),
-                      _degenerate_global(src_valid_l, cand_valid_l))
-        r_f, t_f, it, gn, _ = jax.lax.while_loop(cond, step, init_state)
+        (r_f, t_f, it, gn, _), hist = run_align_loop(
+            cfg, iter_fn, r, t,
+            _degenerate_global(src_valid_l, cand_valid_l), history)
 
         coords = jnp.concatenate([t_f, geo.bso3_log(r_f)], axis=-1)
         particles = jax.lax.all_gather(coords, PARTICLE_AXIS, tiled=True)  # [P,6]
@@ -236,8 +275,13 @@ def sharded_align(
         centered = particles - mean[None, :]
         var = jnp.mean(centered * centered, axis=0)
         cov = jnp.einsum("pi,pj->ij", centered, centered) / p
-        return svn.AlignResult(particles, weights, mean, var, cov, it, gn)
+        result = svn.AlignResult(particles, weights, mean, var, cov, it, gn)
+        return (result, hist) if history else result
 
+    result_specs = svn.AlignResult(
+        particles=P(None, None), weights=P(None), mean=P(None),
+        var=P(None), cov=P(None, None), iterations=P(), grad_norm=P(),
+    )
     fn = jax.shard_map(
         body,
         mesh=mesh,
@@ -250,10 +294,8 @@ def sharded_align(
             P(None),                      # t0
             P(PARTICLE_AXIS, None),       # init particles [P,6]
         ),
-        out_specs=svn.AlignResult(
-            particles=P(None, None), weights=P(None), mean=P(None),
-            var=P(None), cov=P(None, None), iterations=P(), grad_norm=P(),
-        ),
+        out_specs=((result_specs, P(None, None, None)) if history
+                   else result_specs),
         check_vma=False,
     )
     return fn(source, src_valid, cand_pts, cand_valid, r0, t0, init_particles)
@@ -263,10 +305,12 @@ def sharded_register(
     mesh: Mesh,
     cfg: SteinICPConfig,
     source, src_valid, target, tgt_valid, r0, t0, init_particles,
+    history: bool = False,
 ) -> svn.AlignResult:
     """Distributed `svn.register`: stage-1 KNN runs sharded over source rows
     (each point shard searches the replicated target), then the mesh-parallel
-    align."""
+    align. history=True additionally returns the [iters,P,6] particle stack
+    (sharded save_particles — see run_align_loop)."""
 
     def knn_body(source_l, src_valid_l, target_r, tgt_valid_r, r0_l, t0_l):
         source_at_guess = geo.transform_points(r0_l, t0_l, source_l)
@@ -284,4 +328,4 @@ def sharded_register(
     )(source, src_valid, target, tgt_valid, r0, t0)
     cand_pts, cand_valid = knn.gather_candidates(target, idx, d2)
     return sharded_align(mesh, cfg, source, src_valid, cand_pts, cand_valid,
-                         r0, t0, init_particles)
+                         r0, t0, init_particles, history=history)

@@ -350,11 +350,14 @@ def sharded_register_with_map(
     vmap_global: vm.VoxelMap,   # sharded over the point axis (key-range blocks)
     r0: jax.Array, t0: jax.Array,
     init_particles: jax.Array,  # [P,6] sharded over the particle axis
+    history: bool = False,
 ) -> svn.AlignResult:
     """Full distributed registration against the *sharded* map: ring-gather
     candidates from all map blocks (full-K per block + union top-k, so the
     candidate set is split-independent — exact global KNN under
-    candidate_method "topk"), then the mesh-parallel SVN loop."""
+    candidate_method "topk"), then the mesh-parallel SVN loop. history=True
+    additionally returns the [iters,P,6] particle stack (sharded
+    save_particles — sharding.run_align_loop)."""
 
     def body(source_l, src_valid_l, map_pts_l, map_key_l, map_valid_l,
              r0_l, t0_l, init_l):
@@ -372,22 +375,15 @@ def sharded_register_with_map(
         r = geo.bso3_exp(init_l[:, 3:])
         t = init_l[:, :3]
 
-        def cond(state):
-            return (~state[4]) & (state[2] < cfg.iterations)
-
-        def step(state):
-            r_, t_, it, gn, done = state
-            r_n, t_n, grad_norm, stop_stat = sharding._sharded_iteration(
+        def iter_fn(r_, t_):
+            return sharding._sharded_iteration(
                 cfg, source_l, src_valid_l, cand_pts, cand_valid, feat, bias,
                 normals, None, r0_l, t0_l, r_, t_,
             )
-            done = jnp.asarray(cfg.early_stop) & (stop_stat < cfg.convergence_threshold)
-            return (r_n, t_n, it + 1, grad_norm, done)
 
-        init_state = (r, t, jnp.zeros((), jnp.int32),
-                      jnp.asarray(jnp.inf, source_l.dtype),
-                      sharding._degenerate_global(src_valid_l, cand_valid))
-        r_f, t_f, it, gn, _ = jax.lax.while_loop(cond, step, init_state)
+        (r_f, t_f, it, gn, _), hist = sharding.run_align_loop(
+            cfg, iter_fn, r, t,
+            sharding._degenerate_global(src_valid_l, cand_valid), history)
 
         coords = jnp.concatenate([t_f, geo.bso3_log(r_f)], axis=-1)
         particles = jax.lax.all_gather(coords, sharding.PARTICLE_AXIS, tiled=True)
@@ -397,8 +393,13 @@ def sharded_register_with_map(
         centered = particles - mean[None, :]
         var = jnp.mean(centered * centered, axis=0)
         cov = jnp.einsum("pi,pj->ij", centered, centered) / p
-        return svn.AlignResult(particles, weights, mean, var, cov, it, gn)
+        result = svn.AlignResult(particles, weights, mean, var, cov, it, gn)
+        return (result, hist) if history else result
 
+    result_specs = svn.AlignResult(
+        particles=P(None, None), weights=P(None), mean=P(None),
+        var=P(None), cov=P(None, None), iterations=P(), grad_norm=P(),
+    )
     fn = jax.shard_map(
         body,
         mesh=mesh,
@@ -407,10 +408,8 @@ def sharded_register_with_map(
             P(sharding.POINT_AXIS, None), P(sharding.POINT_AXIS), P(sharding.POINT_AXIS),
             P(None, None), P(None), P(sharding.PARTICLE_AXIS, None),
         ),
-        out_specs=svn.AlignResult(
-            particles=P(None, None), weights=P(None), mean=P(None),
-            var=P(None), cov=P(None, None), iterations=P(), grad_norm=P(),
-        ),
+        out_specs=((result_specs, P(None, None, None)) if history
+                   else result_specs),
         check_vma=False,
     )
     return fn(source, src_valid, vmap_global.points, vmap_global.key,

@@ -209,15 +209,26 @@ def _preprocess(cfg: PipelineConfig, state: OdometryState, frame: FrameInput):
     if pp.use_segmentation:
         from svnicp_tpu.core import segmentation as seg
 
-        segmented = seg.segment_cloud(
-            points, frame.valid, _sensor_model(pp.sensor_model),
-            pp.raw_capacity,
-        )
-        points = segmented.points
-        # NOTE: segmentation reorders points, so per-point deskew timestamps
-        # no longer align; the reference has the same constraint (it
-        # segments before deskewing and deskew reads the original message)
-        frame = frame._replace(points=points, valid=segmented.valid)
+        if pp.deskew:
+            # sweep times ride through the projection (RangeImage.ts), so
+            # the reordered segmented cloud keeps aligned per-point times
+            # and the deskew below is exact — capability the reference
+            # lacks (it segments before deskewing and its deskew reads the
+            # original message order)
+            segmented, seg_ts = seg.segment_cloud(
+                points, frame.valid, _sensor_model(pp.sensor_model),
+                pp.raw_capacity, timestamps=frame.timestamps,
+            )
+            frame = frame._replace(points=segmented.points,
+                                   valid=segmented.valid, timestamps=seg_ts)
+        else:
+            segmented = seg.segment_cloud(
+                points, frame.valid, _sensor_model(pp.sensor_model),
+                pp.raw_capacity,
+            )
+            frame = frame._replace(points=segmented.points,
+                                   valid=segmented.valid)
+        points = frame.points
     if pp.deskew:
         # relative motion of the last two poses (ref: deskew_pointcloud :425-432)
         rd, td = geo.transform_compose(
@@ -326,11 +337,6 @@ def _odometry_step_impl(
     """
     dtype = jnp.dtype(cfg.dtype)
     hist_on = cfg.save_particles and cfg.icp.method == "svn"
-    if hist_on and mesh is not None:
-        raise ValueError(
-            "save_particles records the particle stack on the single-device "
-            "svn path; the sharded while_loop does not log per-iteration "
-            "state — disable save_particles for mesh runs")
     history = jnp.zeros((0, cfg.icp.particle_count, 6), dtype)
 
     # --- ESKF propagation over the IMU window (KF mode)
@@ -384,10 +390,18 @@ def _odometry_step_impl(
                 f"cfg.sharding.point_axis ({cfg.sharding.point_axis}), got "
                 f"{mesh.shape[shp.POINT_AXIS]}")
         overflow = jnp.zeros((), jnp.int32)
-        result = vms.sharded_register_with_map(
-            mesh, cfg.icp, source.points, source.valid, state.vmap,
-            guess_r, guess_t, init_particles,
-        )
+        if hist_on:
+            # sharded save_particles: the align loop runs as a scan with a
+            # per-iteration particle-axis all_gather (sharding.run_align_loop)
+            result, history = vms.sharded_register_with_map(
+                mesh, cfg.icp, source.points, source.valid, state.vmap,
+                guess_r, guess_t, init_particles, history=True,
+            )
+        else:
+            result = vms.sharded_register_with_map(
+                mesh, cfg.icp, source.points, source.valid, state.vmap,
+                guess_r, guess_t, init_particles,
+            )
         target = None
     elif (cfg.icp.candidate_method == "voxel" and cfg.icp.method == "svn"
             and mesh is None):
@@ -425,10 +439,18 @@ def _odometry_step_impl(
     elif mesh is not None:
         from svnicp_tpu.parallel import sharding
 
-        result = sharding.sharded_register(
-            mesh, cfg.icp, source.points, source.valid, target.points, target.valid,
-            guess_r, guess_t, init_particles,
-        )
+        if hist_on:
+            result, history = sharding.sharded_register(
+                mesh, cfg.icp, source.points, source.valid,
+                target.points, target.valid,
+                guess_r, guess_t, init_particles, history=True,
+            )
+        else:
+            result = sharding.sharded_register(
+                mesh, cfg.icp, source.points, source.valid,
+                target.points, target.valid,
+                guess_r, guess_t, init_particles,
+            )
     elif cfg.icp.method == "svgd":
         from svnicp_tpu.core import svgd
 

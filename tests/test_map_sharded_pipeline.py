@@ -187,3 +187,18 @@ class TestShardedMapPipelineMode:
             posegraph=cfg_mod.PoseGraphConfig(enabled=True, reanchor=True))
         pipe = pl.LIOPipeline(cfg)
         assert pipe.cfg.posegraph.reanchor and pipe.cfg.map.sharded
+
+
+def test_save_particles_on_mesh(world):
+    """Sharded save_particles (round 5): the per-iteration particle history
+    must be readable from mesh-run FrameOutputs — the config exclusion is
+    gone (the sharded align loop records via sharding.run_align_loop)."""
+    cfg = sharded_cfg(save_particles=True)
+    pipe, _ = run_sequence(cfg, world, n_frames=3)
+    out = pipe.outputs[-1]
+    hist = np.asarray(out.history)
+    assert hist.shape == (cfg.icp.iterations, cfg.icp.particle_count, 6)
+    assert np.isfinite(hist).all()
+    # the last recorded iteration equals the final particles
+    np.testing.assert_allclose(hist[int(out.icp_iterations) - 1],
+                               np.asarray(out.particles), atol=1e-5)

@@ -155,3 +155,27 @@ def test_sharded_with_pallas_matches_xla(rng, devices):
     # realistic contract (measured 1.7e-3 max at 15 iterations on v5e)
     np.testing.assert_allclose(np.asarray(out.mean), np.asarray(ref.mean),
                                atol=5e-3)
+
+
+def test_sharded_history_matches_single_device(rng, devices):
+    """Sharded save_particles (round 5): the [iters,P,6] per-iteration
+    particle stack from the mesh run must match svn.align_with_history —
+    the history contract holds under sharding (ref: /svnicp/all_particles,
+    OdometryPipeline.cpp:966-985)."""
+    if len(devices) < 8:
+        pytest.skip("needs 8 devices")
+    source, target, _ = make_problem(rng)
+    n = source.shape[0]
+    init = svn.init_particles_uniform(jax.random.PRNGKey(0), CFG.particle_count,
+                                      CFG.init_lb, CFG.init_ub)
+    args = (source, jnp.ones(n, bool), target, jnp.ones(n, bool),
+            jnp.eye(3), jnp.zeros(3), init)
+    ref, ref_hist = svn.register_with_history(CFG, *args)
+    mesh = sharding.make_mesh(2, 4)
+    out, hist = sharding.sharded_register(mesh, CFG, *args, history=True)
+    assert hist.shape == (CFG.iterations, CFG.particle_count, 6)
+    np.testing.assert_allclose(np.asarray(hist), np.asarray(ref_hist),
+                               atol=5e-4)
+    # the last history row is the final particle set
+    np.testing.assert_allclose(np.asarray(hist[-1]),
+                               np.asarray(out.particles), atol=1e-6)

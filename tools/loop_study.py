@@ -69,15 +69,14 @@ def variant_config(name: str):
         return dataclasses.replace(
             cfg, lio=dataclasses.replace(cfg.lio, estimator="icp"))
     if name == "seg":
-        # deskew off: segmentation reorders points so per-point sweep times
-        # no longer align (same constraint as the reference); round-4
-        # controls showed distortion is NOT the divergence cause, so the
-        # control stays clean without it
+        # deskew stays ON: sweep times ride through the projection
+        # (RangeImage.ts carry, round 5), so the reordered segmented cloud
+        # deskews exactly — the sweeps are genuinely distorted
         return dataclasses.replace(
             cfg,
             lio=dataclasses.replace(cfg.lio, estimator="icp"),
             preprocess=dataclasses.replace(
-                cfg.preprocess, use_segmentation=True, deskew=False),
+                cfg.preprocess, use_segmentation=True),
             icp=dataclasses.replace(cfg.icp, prior_information=True),
         )
     if name == "feat":
@@ -85,14 +84,21 @@ def variant_config(name: str):
             cfg,
             lio=dataclasses.replace(cfg.lio, estimator="icp"),
             preprocess=dataclasses.replace(
-                cfg.preprocess, feature_select=True, deskew=False),
+                cfg.preprocess, feature_select=True),
             icp=dataclasses.replace(cfg.icp, prior_information=True),
         )
     if name == "feat-kf":
+        # the full designed stack: feature selection + ESKF fusion (the
+        # gyro carries heading where the ring clouds cannot: bias 0.001
+        # rad/s integrates to ~0.025 rad over the whole loop vs the pure-
+        # ICP -0.5 rad) + the cold-start bootstrap (the loop starts at
+        # full speed) + the MAP prior (honest ICP variance along the
+        # unobservable dims, so the filter discounts ICP yaw correctly)
         return dataclasses.replace(
             cfg,
+            lio=dataclasses.replace(cfg.lio, init_from_motion=True),
             preprocess=dataclasses.replace(
-                cfg.preprocess, feature_select=True, deskew=False),
+                cfg.preprocess, feature_select=True),
             icp=dataclasses.replace(cfg.icp, prior_information=True),
         )
     raise SystemExit(f"unknown variant {name!r}")
