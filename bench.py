@@ -51,7 +51,7 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
           early_stop: bool = True, residual: str = "point_to_point",
           batch: int = 1, host_ds: bool = True, segmentation: bool = False,
           icp_method: str = "svn", insert_every: int = 1,
-          stein_kernel: bool = True):
+          stein_kernel: bool = True, features: bool = False):
     from svnicp_tpu import config as cfg_mod
     from svnicp_tpu.io import datasets
     from svnicp_tpu.runtime import pipeline as pl
@@ -85,7 +85,7 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
             # MAP prior bounds the posterior along null directions exactly as
             # designed (config.py prior_information): ATE 0.31, 5-6
             # iters/frame on the same scans
-            prior_information=segmentation,
+            prior_information=segmentation or features,
             source_capacity=4096, target_capacity=65536, use_pallas=use_pallas,
             candidate_method=candidate_method, residual=residual,
             stein_kernel=stein_kernel,
@@ -95,13 +95,15 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
                               insert_every=insert_every),
         preprocess=cfg_mod.PreprocessConfig(
             min_range=2.0, max_range=80.0, voxel_size=1.0,
-            # segmentation mode: the REAL HDL-64 range-image shape (64x2250,
-            # ref ImageProjection.h:63-68) on raycast scans; needs the raw
-            # scan on device, so the host-downsample fast path is off
+            # segmentation/features modes: the REAL HDL-64 range-image shape
+            # (64x2250, ref ImageProjection.h:63-68) on raycast scans; both
+            # need the raw scan on device, so the host-downsample fast path
+            # is off
             use_segmentation=segmentation, sensor_model="hdl64",
-            raw_capacity=147456 if segmentation else 32768,
-            host_downsample=host_ds and not segmentation,
-            quantize_upload=host_ds and not segmentation),
+            feature_select=features,
+            raw_capacity=147456 if (segmentation or features) else 32768,
+            host_downsample=host_ds and not (segmentation or features),
+            quantize_upload=host_ds and not (segmentation or features)),
         lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
         dispatch_batch=batch,
         # overlap native staging with device dispatch (one-frame latency);
@@ -111,7 +113,7 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
     world = datasets.SyntheticWorld(extent=80.0, n_walls=24, n_boxes=16, seed=7)
     times, rots, trans = datasets.synthetic_trajectory(n_frames, dt=0.1, speed=2.0, seed=7)
     rng = np.random.default_rng(7)
-    if segmentation:
+    if segmentation or features:
         scans = [datasets.raycast_scan(world._surfaces, rots[i], trans[i],
                                        max_range=75.0, rng=rng)
                  for i in range(n_frames)]
@@ -126,7 +128,8 @@ def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = Fals
         candidate_method: str = "bucketed", iterations: int = 100,
         early_stop: bool = True, residual: str = "point_to_point",
         batch: int = 1, segmentation: bool = False, icp_method: str = "svn",
-        insert_every: int = 1, stein_kernel: bool = True, repeat: int = 1):
+        insert_every: int = 1, stein_kernel: bool = True, repeat: int = 1,
+        features: bool = False):
     """Measure fps. Returns a LIST with one sample per repeat (callers take
     the median / [0]). With repeat > 1 the (expensive) world/scan
     generation and jit compiles are shared across samples — each sample
@@ -140,7 +143,7 @@ def run(n_frames: int, warmup: int, particles: int = 64, use_pallas: bool = Fals
                                iterations, early_stop, residual, batch,
                                segmentation=segmentation, icp_method=icp_method,
                                insert_every=insert_every,
-                               stein_kernel=stein_kernel)
+                               stein_kernel=stein_kernel, features=features)
     samples = []
     # repeat>1: one un-recorded throwaway pass first — the first measured
     # pass of a process consistently reads 10-30% low even though compiles
@@ -195,6 +198,10 @@ def main():
                     help="run the HDL-64 segmentation operating point: "
                          "64x2250 raycast scans through range-image "
                          "segmentation on device (BASELINE.md row)")
+    ap.add_argument("--features", action="store_true",
+                    help="run the HDL-64 feature-selection operating point: "
+                         "LOAM-style per-sector edge/planar picks on device "
+                         "(core/features.py; BASELINE.md row)")
     ap.add_argument("--residual", default="point_to_plane",
                     choices=["point_to_point", "point_to_plane"],
                     help="ICP residual model; point_to_plane is the default "
@@ -249,7 +256,7 @@ def main():
     # dispatch (and first-compile) the per-frame program inside the timed
     # window
     timed = 40 if args.batch <= 1 else ((40 + args.batch - 1) // args.batch) * args.batch
-    if args.segmentation:
+    if args.segmentation or args.features:
         timed = min(timed, 20)    # raycast generation is the setup cost
     samples = run(
         n_frames=args.frames or (warmup + timed), warmup=warmup,
@@ -259,11 +266,14 @@ def main():
         residual=args.residual, batch=args.batch,
         segmentation=args.segmentation, icp_method=args.icp_method,
         insert_every=args.insert_every,
-        stein_kernel=not args.no_stein_kernel, repeat=args.repeat)
+        stein_kernel=not args.no_stein_kernel, repeat=args.repeat,
+        features=args.features)
     fps = float(np.median(samples))
     metric = "lidar_frames_per_sec_per_chip_64_particles"
     if args.segmentation:
         metric += "_segmentation"
+    elif args.features:
+        metric += "_features"
     elif args.icp_method != "svn":
         metric += f"_{args.icp_method}"
     rec = {

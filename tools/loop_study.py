@@ -101,6 +101,22 @@ def variant_config(name: str):
                 cfg.preprocess, feature_select=True),
             icp=dataclasses.replace(cfg.icp, prior_information=True),
         )
+    if name.endswith("-plane"):
+        # point-to-plane on the feature/segmented clouds: the selected
+        # source samples surfaces DIFFERENTLY from the uniformly-downsampled
+        # map, so nearest-POINT matching carries a systematic sampling bias
+        # (~voxel/2 scale) that integrates into translation drift; the
+        # plane residual measures distance to the SURFACE instead (normals
+        # fit from the K-candidate neighborhoods, K=32 per the flagship
+        # operating point)
+        base = variant_config(name[: -len("-plane")])
+        return dataclasses.replace(
+            base,
+            icp=dataclasses.replace(
+                base.icp, residual="point_to_plane", knn_count=32,
+                convergence_metric="mean_delta",
+                convergence_threshold=1e-3),
+        )
     raise SystemExit(f"unknown variant {name!r}")
 
 
@@ -148,6 +164,12 @@ def run_variant(name: str, log: str, gtp: str, posegraph: bool = False):
         tail = slice(int(0.9 * len(est)), len(est))
         rec["tail_pos_err_m"] = round(float(err_t[tail].mean()), 3)
         rec["loop_gate_ok"] = bool(err_t[tail].mean() < 2.5)
+    ok = [bool(o.align_ok) for o in pipe.outputs]
+    rec["align_fail"] = int(len(ok) - sum(ok))
+    rec["mean_iters"] = round(float(np.mean(
+        [int(o.icp_iterations) for o in pipe.outputs[1:]])), 1)
+    if os.environ.get("LOOP_SAVE_TRAJ"):
+        np.save(os.environ["LOOP_SAVE_TRAJ"] + f"_{name}.npy", est)
     if posegraph:
         rec["loop_closures"] = len(pipe.loop_closures)
         rec["reanchors"] = pipe.reanchors
