@@ -130,10 +130,16 @@ def run_variant(name: str, log: str, gtp: str, posegraph: bool = False):
 
     cfg = variant_config(name)
     if posegraph:
+        # sized for the 246-frame circle: ~37.7 m circumference at 1.5 m
+        # keyframe spacing gives ~25 keyframes, so the separation gate must
+        # sit well below that; candidate radius 4.0 covers the measured
+        # ~2.2-2.4 m tail error of the feat-kf-plane base odometry
         cfg = dataclasses.replace(
             cfg, posegraph=dataclasses.replace(
                 cfg.posegraph, enabled=True, reanchor=True,
-                loop_radius=2.5, loop_use_pallas=True))
+                keyframe_trans_threshold=1.5, loop_min_separation=12,
+                loop_radius=4.0, loop_iterations=60, loop_knn=32,
+                loop_use_pallas=True))
     gt = np.load(gtp)
     pipe = pl.LIOPipeline(cfg)
     t0 = time.perf_counter()
