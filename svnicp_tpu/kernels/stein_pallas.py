@@ -142,6 +142,19 @@ def stein_body(hess, b, r, t, coords, *, max_dist: float, prior_inv=None,
         h_mean = jnp.sum(jnp.where(row_valid[:, :, None], hess, 0.0),
                          axis=0) / p
     x = coords if prior_scale is None else coords / prior_scale[None, :]
+    # center the kernel coordinates: grad_k row i = sum_j K_ij (x_i - x_j)
+    # is translation-invariant, but the matmul form below (x*ksum - K@x)
+    # subtracts two large near-equal numbers once the ensemble converges
+    # (|x| >> spread) — f32 cancellation there injects ~1e-3-relative noise
+    # into the repulsion that the XLA path's direct sum over differences
+    # does not have (measured: 3/3 proxy seeds with slightly worse ATE at
+    # P=10 KF mode before this). Centering puts |x_c| at spread scale, so
+    # the cancellation disappears; sq/diff are unchanged by construction.
+    if row_valid is None:
+        x = x - jnp.mean(x, axis=0, keepdims=True)
+    else:
+        x = x - jnp.sum(jnp.where(row_valid, x, 0.0), axis=0,
+                        keepdims=True) / p
     diff = x[:, None, :] - x[None, :, :]                         # [P,P,6]
     sq = jnp.sum(diff * diff, axis=-1)
     if row_valid is not None:

@@ -94,7 +94,15 @@ _crash_retried = set()
 def pytest_handlecrashitem(crashitem, report, sched):
     if crashitem not in _crash_retried:
         _crash_retried.add(crashitem)
-        sched.mark_test_pending(crashitem)
+        try:
+            sched.mark_test_pending(crashitem)
+        except NotImplementedError:
+            # --dist loadfile uses LoadScopeScheduling, which cannot
+            # reschedule individual items (observed: the retry hook itself
+            # raising INTERNALERROR and killing the whole session after a
+            # worker crash). Leave the crash reported as a plain failure —
+            # a broken retry must never be worse than no retry.
+            return
         report.outcome = "rerun"
 
 

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--segmentation", action="store_true",
                     help="HDL-64 raycast scans through range-image "
                          "segmentation (bench.py --segmentation point)")
+    ap.add_argument("--features", action="store_true",
+                    help="HDL-64 raycast scans through LOAM-style feature "
+                         "selection (bench.py --features point)")
     ap.add_argument("--icp-method", default="svn",
                     choices=["svn", "svgd", "svd"])
     args = ap.parse_args()
@@ -37,7 +40,8 @@ def main():
         args.frames, particles=64, use_pallas=True,
         candidate_method=args.method, residual=args.residual,
         insert_every=args.insert_every,
-        segmentation=args.segmentation, icp_method=args.icp_method)
+        segmentation=args.segmentation, features=args.features,
+        icp_method=args.icp_method)
     _, rots, trans = datasets.synthetic_trajectory(
         args.frames, dt=0.1, speed=2.0, seed=7)
     for i in range(args.frames):
