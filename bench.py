@@ -103,7 +103,9 @@ def build(n_frames: int, particles: int, use_pallas: bool = False,
             feature_select=features,
             raw_capacity=147456 if (segmentation or features) else 32768,
             host_downsample=host_ds and not (segmentation or features),
-            quantize_upload=host_ds and not (segmentation or features)),
+            # segmentation/features ship the raw padded scan; the int16
+            # quantized upload halves their dominant tunnel transfer
+            quantize_upload=host_ds or segmentation or features),
         lio=cfg_mod.LIOConfig(estimator="icp", frame_gap_seconds=0.0),
         dispatch_batch=batch,
         # overlap native staging with device dispatch (one-frame latency);

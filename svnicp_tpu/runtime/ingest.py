@@ -81,6 +81,16 @@ class IngestDriver:
                 scan_buf[:n, :3] = points[:n]
                 scan_buf[:n, 3] = np.asarray(timestamps[:n])
 
+        if self.cfg.preprocess.quantize_upload:
+            # raw-path quantized upload (round 5): the segmentation/feature
+            # operating points ship the RAW padded scan (up to ~2.3 MB f32
+            # at HDL-64 capacity) and the tunnel transfer is their frame
+            # floor; int16 on the same 2^-8 m grid as the host-downsample
+            # path halves it. The 4th channel (normalized sweep time) rides
+            # the same grid (~0.4%-of-a-sweep resolution, as on the pre
+            # path); dequantized on device in _unpack_frame.
+            scan_buf = np.clip(np.round(scan_buf * 256.0), -32768,
+                               32767).astype(np.int16)
         imu_buf, n_imu, n_drop = self._pack_imu(t)
         meta = np.array([t, n, n_imu, n_drop], np.float64)
         return scan_buf, imu_buf, meta

@@ -645,6 +645,10 @@ def _unpack_frame(cfg: PipelineConfig, scan_buf: jax.Array, imu_buf: jax.Array,
     imu_buf [W,7] = dt + acc + gyro, meta [4] f64 = (stamp, n_points, n_imu,
     n_imu_dropped). Validity masks are prefix masks from the counts."""
     dtype = jnp.dtype(cfg.dtype)
+    if scan_buf.dtype == jnp.int16:
+        # quantized raw upload (preprocess.quantize_upload on the raw
+        # path): 2^-8 m grid, +/-128 m; the ts channel shares the grid
+        scan_buf = scan_buf.astype(dtype) * (2.0 ** -8)
     cap = scan_buf.shape[0]
     w = imu_buf.shape[0]
     n_pts = meta[1].astype(jnp.int32)

@@ -294,6 +294,21 @@ class TestThreadedIngest:
             axis=1)
         assert d.max() < 0.03, d
 
+    def test_quantized_raw_upload_tracks_float_path(self, world):
+        """quantize_upload on the RAW path (round 5 — the segmentation/
+        feature operating points ship the raw padded scan): int16 2^-8 m
+        grid, trajectory within quantization-noise distance of float."""
+        cfg_f = small_cfg()       # raw path (host_downsample off)
+        pipe_f, _ = run_sequence(cfg_f, world, n_frames=6)
+        cfg_q = dataclasses.replace(
+            cfg_f, preprocess=dataclasses.replace(cfg_f.preprocess,
+                                                  quantize_upload=True))
+        pipe_q, _ = run_sequence(cfg_q, world, n_frames=6)
+        d = np.linalg.norm(
+            pipe_q.trajectory()[:, :3, 3] - pipe_f.trajectory()[:, :3, 3],
+            axis=1)
+        assert d.max() < 0.03, d
+
     def test_stage_ahead_mode_switch_preserves_order(self, world):
         """Frames that can't use the fast path (here: per-point timestamps)
         must drain the staged-ahead queue first so dispatch order is kept."""
