@@ -59,7 +59,9 @@ STAGES = [
     ("sort", "map/query sorts"),
     ("fusion", "xla fusions"),
     ("dot", "matmuls"),
-    ("custom-call", "pallas kernels"),
+    ("custom", "pallas kernels"),       # custom-call / tpu_custom_call
+    ("stein_update", "pallas kernels"),
+    ("fused_moments", "pallas kernels"),
     ("dynamic-update-slice", "slice updates"),
     ("copy", "copies"),
     ("convert", "converts"),
