@@ -78,12 +78,24 @@ scans = [world.scan_at(scan_rng, rots[i], trans[i], n_points=2000)
          for i in range(5)]
 imu = list(datasets.synthetic_imu(times, rots, trans, imu_mod.GRAVITY))
 
+from svnicp_tpu.core import geometry as geo  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+delta_r = np.asarray(geo.so3_exp(jnp.asarray([0.0, 0.0, 0.04])), np.float64)
+delta_t = np.asarray([0.3, -0.2, 0.1], np.float64)
+
 with jax.enable_x64(True):
     pipe = pl.LIOPipeline(cfg)
     for t, acc, gyro in imu:
         pipe.feed_imu(t, acc, gyro)
     for i in range(5):
         pipe.feed_scan(float(times[i]), scans[i])
+        if i == 2:
+            # mid-run distributed re-anchor: the rigid map move re-keys per
+            # block and migrates rows over the ring pass — in the 2-process
+            # run the migration crosses the process boundary
+            pipe.apply_reanchor(delta_r, delta_t)
+    assert pipe.reanchors == 1
     traj = pipe.trajectory()
 
 if jax.process_index() == 0:
